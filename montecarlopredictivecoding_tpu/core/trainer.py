@@ -1,0 +1,316 @@
+"""PCTrainer facade: the reference trainer API over the pure scan engine.
+
+The reference ``PCTrainer`` (``/root/reference/predictive_coding/pc_trainer.py:22``)
+mutates module state (latents live inside PCLayers, optimizers are torch
+objects).  Here the trainer is a thin stateful shell: model parameters and
+latents live in a shared :class:`GenerativeModel` handle (so a PC trainer and
+an MCPC trainer can hand latents off for the canonical warm-start-then-sample
+pattern, reference ``utils/model.py:121-149``), and every ``train_on_batch``
+call dispatches to a cached, jitted pure function built by
+:func:`..core.engine.build_train_on_batch`.
+
+The MCPC Langevin noise — injected in the reference through the
+``callback_after_t=random_step`` host callback (``utils/model.py:35-44``) — is
+expressed as the jittable :class:`LangevinStep` config (or the
+``langevin_var=`` shorthand), which compiles into the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+import warnings
+
+import jax
+import jax.numpy as jnp
+
+from .engine import EngineConfig, EngineState, build_train_on_batch
+from .model import PCModel
+from .optim import OptimizerSpec
+from .schedule import build_plan
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LangevinStep:
+    """Jittable stand-in for the reference ``random_step`` callback
+    (utils/model.py:35-44): after each deterministic x-step, add Gaussian
+    noise ``N(0, lr0 * var)`` to every latent.  ``var=2.0`` yields exact
+    unadjusted Langevin dynamics with stationary distribution ∝ exp(-E)."""
+
+    var: float = 2.0
+
+
+class GenerativeModel:
+    """Holds a PCModel spec plus its explicit state (params, latents, PRNG).
+
+    Plays the role of the reference's stateful ``nn.Sequential`` model that
+    both trainers share.
+    """
+
+    def __init__(
+        self,
+        model: PCModel,
+        key: tp.Union[Array, int],
+        params=None,
+        dtype=jnp.float32,
+    ):
+        self.model = model
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        self._key = key
+        if params is None:
+            self._key, sub = jax.random.split(self._key)
+            params = model.init(sub, dtype)
+        self.params = params
+        self.latents: tp.Optional[tuple] = None
+
+    def next_key(self) -> Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # reference-parity helpers ------------------------------------------------
+
+    def get_model_xs(self):
+        """All latent value nodes (reference pc_trainer.py:417-434)."""
+        return self.latents
+
+    def get_x(self, index: int = 0):
+        """Latent of the index-th PC layer (reference pc_layer.py:130-133)."""
+        return self.latents[index]
+
+    def predict(self, inputs: Array) -> Array:
+        """Eval-mode forward (PC layers are identity)."""
+        return self.model.predict(self.params, inputs)
+
+    def sample_latents(self, inputs: Array, key: tp.Optional[Array] = None):
+        if key is None:
+            key = self.next_key()
+        self.latents = self.model.init_latents(
+            self.params, inputs, key, self.latents
+        )
+        return self.latents
+
+    def ancestral_sample(self, num_samples: int, key: tp.Optional[Array] = None):
+        if key is None:
+            key = self.next_key()
+        return self.model.ancestral_sample(self.params, key, num_samples)
+
+
+class PCTrainer:
+    """Inference-learning trainer (reference pc_trainer.py:22-220 semantics).
+
+    Args mirror the reference constructor; optimizers are given as
+    ``('sgd'|'adam'|'adamw', kwargs)`` in torch-kwarg style or as
+    :class:`OptimizerSpec`.
+    """
+
+    def __init__(
+        self,
+        model: GenerativeModel,
+        optimizer_x_fn="sgd",
+        optimizer_x_kwargs: tp.Optional[dict] = None,
+        x_lr_amplifier: float = 1.0,
+        x_lr_discount: float = 1.0,
+        loss_x_fn: tp.Optional[tp.Callable] = None,
+        loss_inputs_fn: tp.Optional[tp.Callable] = None,
+        optimizer_p_fn="adam",
+        optimizer_p_kwargs: tp.Optional[dict] = None,
+        T: int = 512,
+        update_x_at="all",
+        update_p_at="all",
+        accumulate_p_at="never",
+        energy_coefficient: float = 1.0,
+        early_stop_fn: tp.Optional[tp.Callable] = None,
+        update_p_at_early_stop: bool = True,
+    ):
+        if not isinstance(model, GenerativeModel):
+            raise TypeError("PCTrainer expects a GenerativeModel handle")
+        self.gen = model
+        self.T = int(T)
+        if self.T < self.gen.model.get_least_T():
+            warnings.warn(
+                f"T={self.T} is less than the recommended minimum "
+                f"{self.gen.model.get_least_T()} (num_pc_layers + 1); "
+                "errors may not fully propagate through the stack "
+                "(reference pc_trainer.py:199-220).",
+                RuntimeWarning,
+            )
+        self.opt_x_spec = OptimizerSpec.from_torch_style(
+            optimizer_x_fn, optimizer_x_kwargs or {"lr": 0.1}
+        )
+        self.opt_p_spec = (
+            OptimizerSpec.from_torch_style(
+                optimizer_p_fn, optimizer_p_kwargs or {"lr": 0.001}
+            )
+            if optimizer_p_fn is not None
+            else None
+        )
+        update_p = update_p_at if self.opt_p_spec is not None else "never"
+        self.plan = build_plan(self.T, update_x_at, update_p, accumulate_p_at)
+        self.x_lr_amplifier = float(x_lr_amplifier)
+        self.x_lr_discount = float(x_lr_discount)
+        self.loss_x_fn = loss_x_fn
+        self.loss_inputs_fn = loss_inputs_fn
+        self.energy_coefficient = float(energy_coefficient)
+        self.early_stop_fn = early_stop_fn
+        self.update_p_at_early_stop = bool(update_p_at_early_stop)
+
+        # trainer-held optimizer state (torch keeps these on the optimizer
+        # objects; recreated when latents are resampled,
+        # reference pc_trainer.py:741-752)
+        self._opt_x_state = None
+        self._opt_p_state = None
+        self._lr_scale = jnp.ones(())
+        self._fns: dict = {}
+
+    # -- reference utility surface (pc_trainer.py:312-461) ---------------------
+
+    def get_model_xs(self):
+        return self.gen.latents
+
+    def get_numparameters(self, exclude_first_linear: bool = False) -> int:
+        return self.gen.model.num_parameters(self.gen.params, exclude_first_linear)
+
+    def get_weights_norms(self):
+        return self.gen.model.weight_norms(self.gen.params)
+
+    def get_least_T(self) -> int:
+        return self.gen.model.get_least_T()
+
+    def get_x_lr(self) -> float:
+        return float(self.opt_x_spec.lr * self._lr_scale)
+
+    def recreate_optimizer_x(self):
+        self._opt_x_state = None
+        self._lr_scale = jnp.ones(())
+
+    def recreate_optimizer_p(self):
+        self._opt_p_state = None
+
+    # -- core entry point -------------------------------------------------------
+
+    def _get_fn(self, cfg: EngineConfig):
+        key = cfg
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = jax.jit(build_train_on_batch(self.gen.model, cfg))
+            self._fns[key] = fn
+        return fn
+
+    def train_on_batch(
+        self,
+        inputs: Array,
+        loss_fn: tp.Optional[tp.Callable] = None,
+        loss_fn_kwargs: tp.Optional[dict] = None,
+        is_sample_x_at_batch_start: bool = True,
+        is_reset_optimizer_x_at_batch_start: bool = False,
+        is_reset_optimizer_p_at_batch_start: bool = False,
+        is_optimize_inputs: bool = False,
+        callback_after_t: tp.Optional[LangevinStep] = None,
+        langevin_var: tp.Optional[float] = None,
+        is_return_results_every_t: bool = True,
+        is_return_outputs: bool = False,
+        is_return_representations: bool = False,
+        is_return_xs: bool = False,
+        is_return_batchelement_loss: bool = False,
+        capture_stride: int = 1,
+        key: tp.Optional[Array] = None,
+    ) -> dict:
+        """Run T inference iterations on one batch (reference
+        pc_trainer.py:500-981).  Returns the results dict with per-step
+        ``loss`` / ``energy`` / ``overall`` arrays plus requested captures."""
+        inputs = jnp.asarray(inputs)
+        loss_fn_kwargs = dict(loss_fn_kwargs or {})
+        if isinstance(callback_after_t, LangevinStep):
+            langevin_var = callback_after_t.var
+        elif callback_after_t is not None:
+            raise TypeError(
+                "callback_after_t must be a LangevinStep; arbitrary host "
+                "callbacks do not exist in the compiled engine — express the "
+                "hook as config (see LangevinStep) or post-process results."
+            )
+
+        gen = self.gen
+        # latent (re)sampling triggers, mirroring pc_layer.py:184-218
+        resample = is_sample_x_at_batch_start
+        if not resample:
+            if gen.latents is None:
+                warnings.warn(
+                    "latents have not been initialized yet; sampling them now "
+                    "(reference pc_layer.py:190-196).",
+                    RuntimeWarning,
+                )
+                resample = True
+            elif gen.latents[0].shape[0] != inputs.shape[0]:
+                warnings.warn(
+                    "batch size changed; resampling latents "
+                    "(reference pc_layer.py:209-218).",
+                    RuntimeWarning,
+                )
+                resample = True
+
+        if resample:
+            gen.sample_latents(inputs, key=key)
+            self.recreate_optimizer_x()
+        else:
+            if is_reset_optimizer_x_at_batch_start:
+                self.recreate_optimizer_x()
+        if is_reset_optimizer_p_at_batch_start:
+            self.recreate_optimizer_p()
+
+        cfg = EngineConfig(
+            plan=self.plan,
+            optimizer_x=self.opt_x_spec,
+            optimizer_p=self.opt_p_spec,
+            energy_coefficient=self.energy_coefficient,
+            x_lr_discount=self.x_lr_discount,
+            x_lr_amplifier=self.x_lr_amplifier,
+            langevin_var=langevin_var,
+            loss_fn=loss_fn,
+            loss_x_fn=self.loss_x_fn,
+            loss_inputs_fn=self.loss_inputs_fn,
+            early_stop_fn=self.early_stop_fn,
+            update_p_at_early_stop=self.update_p_at_early_stop,
+            optimize_inputs=is_optimize_inputs,
+            capture_every_t=is_return_results_every_t,
+            capture_outputs=is_return_outputs,
+            capture_representations=is_return_representations,
+            capture_xs=is_return_xs,
+            capture_overall_elementwise=is_return_batchelement_loss,
+            capture_stride=int(capture_stride),
+        )
+        fn = self._get_fn(cfg)
+
+        opt_x = self.opt_x_spec.make()
+        xs_tree = {"latents": gen.latents}
+        if is_optimize_inputs:
+            xs_tree["inputs"] = inputs
+        if self._opt_x_state is None:
+            self._opt_x_state = opt_x.init(xs_tree)
+        if self._opt_p_state is None and self.opt_p_spec is not None:
+            self._opt_p_state = self.opt_p_spec.make().init(gen.params)
+
+        state = EngineState(
+            params=gen.params,
+            latents=gen.latents,
+            opt_x_state=self._opt_x_state,
+            opt_p_state=self._opt_p_state,
+            lr_scale=self._lr_scale,
+            key=key if key is not None else gen.next_key(),
+        )
+        new_state, results = fn(state, inputs, loss_fn_kwargs)
+
+        gen.params = new_state.params
+        gen.latents = new_state.latents
+        self._opt_x_state = new_state.opt_x_state
+        self._opt_p_state = new_state.opt_p_state
+        self._lr_scale = new_state.lr_scale
+
+        if not is_return_results_every_t:
+            results = {
+                k: (v[-1:] if (hasattr(v, "ndim") and v.ndim >= 1) else v)
+                for k, v in results.items()
+            }
+        return results
