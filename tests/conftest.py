@@ -3,7 +3,7 @@ tests exercise a multi-chip mesh without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (import after env setup)
 
 import pytest  # noqa: E402
+
+# Belt and braces: the surrounding environment exports JAX_PLATFORMS=axon
+# (the tunneled TPU); tests must run on the 8-virtual-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: scan-heavy trainer configs compile once and
 # are reused across test runs.
