@@ -1,0 +1,159 @@
+"""Fréchet distance evaluation, fully in-process.
+
+The reference shells out to ``python -m pytorch_fid`` with PNG round-trips
+(``/root/reference/utils/training_evaluation.py:104-139``, stats builder
+``utils/data.py:113-158``) — the repo's only process boundary.  Here the
+whole pipeline is on-device: sample -> feature extractor -> Gaussian moments
+-> closed-form Fréchet distance.  The default feature extractor is the
+in-framework ResNet-9 ideal observer's penultimate layer (the extractor named
+in the rebuild target, BASELINE.json); raw pixels are available for
+dependency-free smoke metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import typing as tp
+
+import jax.numpy as jnp
+import numpy as np
+
+from .sampling import sample_pc
+from ..core.losses import bernoulli_fn, fe_fn
+
+
+@dataclasses.dataclass
+class FIDStats:
+    mu: np.ndarray
+    sigma: np.ndarray
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path, mu=self.mu, sigma=self.sigma)
+
+    @staticmethod
+    def load(path: str) -> "FIDStats":
+        with np.load(path) as z:
+            return FIDStats(mu=z["mu"], sigma=z["sigma"])
+
+
+def compute_stats(features: np.ndarray) -> FIDStats:
+    f = np.asarray(features, dtype=np.float64)
+    mu = f.mean(axis=0)
+    sigma = np.cov(f, rowvar=False)
+    return FIDStats(mu=mu, sigma=np.atleast_2d(sigma))
+
+
+def _trace_sqrt_product(s1: np.ndarray, s2: np.ndarray) -> float:
+    """tr(sqrtm(S1 @ S2)) via the PSD form sqrtm(S1)^T S2 sqrtm(S1):
+    numerically stable without scipy.linalg.sqrtm's complex branches."""
+    vals1, vecs1 = np.linalg.eigh(s1)
+    vals1 = np.clip(vals1, 0.0, None)
+    root1 = (vecs1 * np.sqrt(vals1)) @ vecs1.T
+    m = root1 @ s2 @ root1
+    vals = np.linalg.eigvalsh(m)
+    return float(np.sqrt(np.clip(vals, 0.0, None)).sum())
+
+
+def compute_fid(stats1: FIDStats, stats2: FIDStats, eps: float = 1e-6) -> float:
+    """Fréchet distance between two Gaussians:
+    ||mu1-mu2||^2 + tr(S1 + S2 - 2 sqrtm(S1 S2))."""
+    s1 = stats1.sigma + eps * np.eye(len(stats1.mu))
+    s2 = stats2.sigma + eps * np.eye(len(stats2.mu))
+    diff = stats1.mu - stats2.mu
+    return float(
+        diff @ diff + np.trace(s1) + np.trace(s2) - 2.0 * _trace_sqrt_product(s1, s2)
+    )
+
+
+FeatureFn = tp.Callable[[np.ndarray], np.ndarray]
+
+
+def pixel_features(images: np.ndarray) -> np.ndarray:
+    """Raw-pixel features (dependency-free smoke metric)."""
+    return np.asarray(images).reshape(len(images), -1)
+
+
+def make_resnet9_features(state, batch_size: int = 500) -> FeatureFn:
+    """Feature extractor from a trained ResNet-9 (models/resnet9.py)."""
+    from ..models.resnet9 import ResNet9, make_feature_fn
+
+    model = ResNet9()
+    feats_fn = make_feature_fn(model)
+
+    def fn(images: np.ndarray) -> np.ndarray:
+        x = np.asarray(images).reshape(-1, 28, 28, 1)
+        out = []
+        for s in range(0, len(x), batch_size):
+            out.append(np.asarray(feats_fn(state, jnp.asarray(x[s : s + batch_size]))))
+        return np.concatenate(out, axis=0)
+
+    fn.tag = "resnet9"
+    return fn
+
+
+def generated_images(
+    gen, config: dict, n_samples: int, key=None
+) -> np.ndarray:
+    """Reference post-processing of ancestral samples for FID
+    (training_evaluation.py:111-116): Gaussian path thresholds at 0,
+    Bernoulli path takes sigmoid probabilities."""
+    samples = np.asarray(
+        sample_pc(n_samples, gen, config, key=key, is_return_hidden=True)
+    )
+    images = samples.reshape(-1, 28, 28)
+    loss_fn = config.get("loss_fn")
+    if loss_fn is fe_fn or loss_fn == "fe_fn":
+        images = (images > 0).astype(np.float32)
+    elif loss_fn is bernoulli_fn or loss_fn == "bernoulli_fn":
+        images = 1.0 / (1.0 + np.exp(-images))
+    return images
+
+
+def make_mnist_fid_stats(
+    feature_fn: FeatureFn,
+    root: str = "MNIST_data",
+    allow_synthetic: bool = True,
+) -> tp.Tuple[FIDStats, FIDStats]:
+    """Build (and cache) the validation/test reference stats — the in-process
+    equivalent of the reference's ``make_compressed_MNIST_files``
+    (utils/data.py:113-158): stats over test[6000:10000] and test[:6000]."""
+    from ..data.mnist import load_mnist_arrays
+
+    # cache is keyed by the feature extractor so pixel- and resnet-feature
+    # stats never collide
+    tag = getattr(feature_fn, "tag", getattr(feature_fn, "__name__", "feat"))
+    test_path = os.path.join(root, "MNIST", f"test_img_{tag}.npz")
+    val_path = os.path.join(root, "MNIST", f"val_img_{tag}.npz")
+    if os.path.isfile(test_path) and os.path.isfile(val_path):
+        return FIDStats.load(val_path), FIDStats.load(test_path)
+
+    _, (te_x, _) = load_mnist_arrays(root, allow_synthetic)
+    val_imgs = te_x[:6000]
+    test_imgs = te_x[6000:10000]
+    val_stats = compute_stats(feature_fn(val_imgs))
+    test_stats = compute_stats(feature_fn(test_imgs))
+    val_stats.save(val_path)
+    test_stats.save(test_path)
+    return val_stats, test_stats
+
+
+def get_fid(
+    gen,
+    config: dict,
+    n_samples: int = 5000,
+    is_test: bool = False,
+    feature_fn: tp.Optional[FeatureFn] = None,
+    root: str = "MNIST_data",
+    key=None,
+) -> float:
+    """End-to-end FID of the generative model vs MNIST reference stats
+    (reference get_fid, training_evaluation.py:104-139) — no subprocess, no
+    PNG round-trip."""
+    if feature_fn is None:
+        feature_fn = pixel_features
+    val_stats, test_stats = make_mnist_fid_stats(feature_fn, root=root)
+    images = generated_images(gen, config, n_samples, key=key)
+    gen_stats = compute_stats(feature_fn(images))
+    return compute_fid(gen_stats, test_stats if is_test else val_stats)

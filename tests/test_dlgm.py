@@ -1,0 +1,145 @@
+"""DLGM baseline tests: factor parameterizations, KL correctness, training
+step, metrics plumbing, importance-sampled NLL on an analytic case."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlopredictivecoding_tpu.models.cholesky import (
+    CholeskyFactor,
+    DiagonalFactor,
+    RankOneFactor,
+)
+from montecarlopredictivecoding_tpu.models.dlgm import (
+    DLGM,
+    dlgm_loss,
+    generative_forward,
+    init_generative,
+    optimal_hidden_dim_recog,
+    recognition_forward,
+    recognition_sample,
+    sample_prior,
+)
+
+
+def test_cholesky_factor_shapes_and_positivity():
+    f = CholeskyFactor(4)
+    free = jnp.zeros((2, f.free_parameter_size()))
+    R = f.parameterize(free)
+    assert R.shape == (2, 4, 4)
+    # lower triangular with positive diagonal
+    assert np.allclose(np.triu(np.asarray(R[0]), k=1), 0.0)
+    assert np.all(np.diag(np.asarray(R[0])) > 0)
+
+
+def test_diagonal_factor():
+    f = DiagonalFactor(3)
+    R = f.parameterize(jnp.log(jnp.array([[1.0, 2.0, 3.0]])))
+    assert np.allclose(np.asarray(R[0]), np.diag([1.0, 2.0, 3.0]), atol=1e-5)
+
+
+def test_rank_one_factor_structure():
+    f = RankOneFactor(3)
+    free = jnp.array([[0.0, 0.0, 0.0, np.log(2.0), np.log(3.0), np.log(4.0)]])
+    R = np.asarray(f.parameterize(free))[0]
+    v = np.array([2.0, 3.0, 4.0]) + 1e-6
+    expected = np.outer(v, v)
+    np.fill_diagonal(expected, 1.0 + 1e-6)  # exp(0)+delta on the diagonal
+    np.testing.assert_allclose(R, expected, rtol=1e-5)
+
+
+def test_rank_one_matches_reference_formula():
+    torch = __import__("pytest").importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/reference/Deep_Latent_Gaussian_Models")
+    from cholesky_factor import RankOneFactor as RefFactor
+
+    rng = np.random.RandomState(0)
+    free = rng.randn(3, 8).astype(np.float32)
+    ours = np.asarray(RankOneFactor(4).parameterize(jnp.asarray(free)))
+    theirs = RefFactor(4).parameterize(torch.tensor(free)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_kl_term_diagonal_case():
+    # For diagonal R the KL must equal the classic VAE closed form.
+    mu = jnp.array([[0.5, -1.0]])
+    sd = jnp.array([[0.8, 1.3]])
+    R = jnp.eye(2)[None] * sd[:, :, None]
+    x = jnp.zeros((1, 4))
+    recon = 0.5 * jnp.ones((1, 4))
+    loss = dlgm_loss(recon, x, [mu], [R])
+    bce = -4 * np.log(0.5)
+    kl = 0.5 * np.sum(np.asarray(mu) ** 2 + np.asarray(sd) ** 2 - 2 * np.log(np.asarray(sd)) - 1)
+    assert abs(float(loss) - (bce + kl)) < 1e-4
+
+
+def test_generative_chain_shapes(key):
+    params = init_generative(key, input_dim=16, dim_list=(3, 5, 5))
+    z = sample_prior(key, 7, [3, 5, 5])
+    out = generative_forward(params, z)
+    assert out.shape == (7, 16)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_recognition_hidden_dim_matches_reference_formula():
+    # parity with DLGM.py:230-233
+    lat = [20, 128, 128]
+    n_gen = 120000
+    h = optimal_hidden_dim_recog(lat, n_gen, input_dim=784, factor=3)
+    expected = (3 * n_gen - 3 * sum(lat)) // (len(lat) * 784 + 3 * sum(lat) + len(lat))
+    assert h == expected
+
+
+def test_dlgm_trains_and_evaluates():
+    dlgm = DLGM(input_dim=64, hidden_dim=8, latent_dim=4, lr=1e-3, key=0)
+    n = dlgm.get_nparameters()
+    assert n["#recognition"] > 0 and n["#generative"] > 0
+
+    rng = np.random.RandomState(0)
+    data = (rng.rand(64, 64) > 0.5).astype(np.float32)
+    labels = rng.randint(0, 10, 64)
+    batches = [(jnp.asarray(data[:32]), jnp.asarray(labels[:32])),
+               (jnp.asarray(data[32:]), jnp.asarray(labels[32:]))]
+
+    before = dlgm.test_elbo(batches)
+    dlgm.train(batches * 4, epochs=3, log=False)
+    after = dlgm.test_elbo(batches)
+    assert after < before
+
+    samples = dlgm.generate_samples(10)
+    assert samples.shape == (10, 8, 8)
+    probs = dlgm.generate_samples(10, is_return_hidden=True)
+    assert float(probs.min()) >= 0.0 and float(probs.max()) <= 1.0
+
+    mse = dlgm.get_mse_rec(batches)
+    assert 0.0 <= mse <= 1.0
+
+    ml = dlgm.get_marginal_likelihood(batches, n_samples=64)
+    assert np.isfinite(ml) and ml < 0
+
+    nll = dlgm.evaluate_importance_nll(batches, particle_size=4)
+    assert np.isfinite(nll) and nll > 0
+
+
+def test_importance_nll_analytic_independent_model():
+    """With W=0 everywhere the model is independent Bernoulli(sigmoid(b));
+    the importance estimate must recover -log p(x) exactly."""
+    dlgm = DLGM(input_dim=6, hidden_dim=3, latent_dim=2, key=1)
+    # zero all generative weights; set output bias to known logits
+    gp = jax.tree_util.tree_map(jnp.zeros_like, dlgm.gen_params)
+    logits_b = jnp.array([2.0, -2.0, 2.0, -2.0, 2.0, -2.0])
+    gp["final"]["b"] = logits_b
+    dlgm.gen_params = gp
+    # make the recognition posterior exactly the prior N(0, I): mu = 0 and
+    # rank-one factor with unit diagonal, vanishing off-diagonal component
+    rp = jax.tree_util.tree_map(jnp.zeros_like, dlgm.rec_params)
+    for net, d in zip(rp["nets"], dlgm.latent_dim_list):
+        net["cov"]["b"] = jnp.concatenate([jnp.zeros(d), jnp.full((d,), -20.0)])
+    dlgm.rec_params = rp
+    x = jnp.array([[1.0, 0.0, 1.0, 0.0, 1.0, 0.0]])
+    nll = dlgm.evaluate_importance_nll([(x, jnp.array([0]))], particle_size=64)
+    p1 = 1 / (1 + np.exp(-np.asarray(logits_b)))
+    expected = -float(np.sum(np.log(np.where(np.asarray(x[0]) > 0.5, p1, 1 - p1))))
+    assert abs(nll - expected) < 1e-3

@@ -1,0 +1,160 @@
+"""Evaluation-stack tests: FID math, KL estimators, marginal likelihood on a
+tiny exactly-solvable model, masked reconstruction, classifier probe."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import montecarlopredictivecoding_tpu as mcpc
+from montecarlopredictivecoding_tpu.eval import (
+    KLdivergence,
+    compute_fid,
+    compute_stats,
+    get_marginal_likelihood,
+    get_mse_rec,
+    kl_divergence_discrete,
+    get_paired_stat,
+    sample_pc,
+    train_linear_classifier,
+    test_classifier as classifier_accuracy,
+)
+from montecarlopredictivecoding_tpu.eval.fid import FIDStats
+
+
+def test_fid_identical_is_zero():
+    rng = np.random.RandomState(0)
+    f = rng.randn(500, 8)
+    s = compute_stats(f)
+    assert abs(compute_fid(s, s)) < 1e-6
+
+
+def test_fid_known_gaussians():
+    # For two Gaussians with diagonal covariance the Fréchet distance is
+    # ||mu1-mu2||^2 + sum((sqrt(v1)-sqrt(v2))^2).
+    mu1, mu2 = np.zeros(3), np.array([1.0, 0.0, 0.0])
+    v1, v2 = np.ones(3), np.array([4.0, 1.0, 1.0])
+    s1 = FIDStats(mu=mu1, sigma=np.diag(v1))
+    s2 = FIDStats(mu=mu2, sigma=np.diag(v2))
+    expected = 1.0 + (np.sqrt(v1) - np.sqrt(v2)) ** 2 @ np.ones(3)
+    assert abs(compute_fid(s1, s2, eps=0.0) - expected) < 1e-9
+
+
+def test_kl_nn_estimator_self_near_zero_and_shift():
+    rng = np.random.RandomState(1)
+    x = rng.randn(1500, 2)
+    y = rng.randn(1500, 2)
+    kl_same = KLdivergence(x, y)
+    assert abs(kl_same) < 0.12
+    # shifted Gaussian: true KL = ||shift||^2 / 2 = 2.0
+    y_shift = rng.randn(1500, 2) + np.array([2.0, 0.0])
+    kl_shift = KLdivergence(x, y_shift)
+    assert 1.3 < kl_shift < 2.7
+
+
+def test_kl_matches_scipy_kdtree_version():
+    # identical estimator math as the reference's cKDTree implementation
+    from scipy.spatial import cKDTree as KDTree
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(400, 3)
+    y = rng.randn(500, 3) + 0.5
+    n, d = x.shape
+    m = len(y)
+    r = KDTree(x).query(x, k=2, eps=0.01, p=2)[0][:, 1]
+    s = KDTree(y).query(x, k=1, eps=0.01, p=2)[0]
+    ref = -np.log(r / s).sum() * d / n + np.log(m / (n - 1.0))
+    ours = KLdivergence(x, y)
+    assert abs(ours - ref) < 0.05  # KDTree eps=.01 is approximate
+
+
+def test_kl_discrete():
+    p = [0.5, 0.5]
+    q = [0.25, 0.75]
+    expected = 0.5 * np.log(0.5 / 0.25) + 0.5 * np.log(0.5 / 0.75)
+    assert abs(kl_divergence_discrete(p, q) - expected) < 1e-12
+    assert kl_divergence_discrete(p, p) == 0.0
+
+
+def test_paired_stat_detects_shift():
+    rng = np.random.RandomState(3)
+    before = rng.randn(30)
+    after = before + 1.0 + 0.1 * rng.randn(30)
+    p = get_paired_stat(list(before), list(after))
+    assert p < 0.01
+    p_same = get_paired_stat(list(before), list(before + 0.001 * rng.randn(30)))
+    assert p_same > 0.01
+
+
+def _bernoulli_model(key=0):
+    """Tiny Bernoulli generative model with known logits: the first Linear's
+    bias is the latent prior mean; output logits = W x + b."""
+    m = mcpc.PCModel([mcpc.Linear(2, 2), mcpc.PC(), mcpc.Linear(2, 4)])
+    params = (
+        {"w": jnp.zeros((2, 2)), "b": jnp.array([0.0, 0.0])},
+        {"w": jnp.zeros((2, 4)), "b": jnp.array([3.0, -3.0, 3.0, -3.0])},
+    )
+    return mcpc.GenerativeModel(m, key=key, params=params)
+
+
+def test_marginal_likelihood_analytic():
+    # With W=0 the model ignores the latent: p(x) = prod Bernoulli(sigmoid(b)).
+    gen = _bernoulli_model()
+    config = {"loss_fn": mcpc.bernoulli_fn, "input_size": 2}
+    data = jnp.array([[1.0, 0.0, 1.0, 0.0], [1.0, 1.0, 0.0, 0.0]])
+    batches = [(data, jnp.array([0, 1]))]
+    ml = get_marginal_likelihood(gen, config, batches, n_samples=200)
+    b = np.array([3.0, -3.0, 3.0, -3.0])
+    p1 = 1 / (1 + np.exp(-b))
+
+    def logp(x):
+        return float(np.sum(x * np.log(p1) + (1 - x) * np.log(1 - p1)))
+
+    expected = (logp(np.array([1, 0, 1, 0])) + logp(np.array([1, 1, 0, 0]))) / 2
+    assert abs(ml - expected) < 1e-3
+
+
+def test_sample_pc_paths(key):
+    gen = _bernoulli_model()
+    cfg_b = {"loss_fn": mcpc.bernoulli_fn, "input_size": 2}
+    s = sample_pc(100, gen, cfg_b, key=key)
+    assert set(np.unique(np.asarray(s))).issubset({0.0, 1.0})
+    cfg_g = {"loss_fn": mcpc.fe_fn, "input_size": 2, "input_var": 1.0}
+    hidden = sample_pc(1000, gen, cfg_g, key=key, is_return_hidden=True)
+    noisy = sample_pc(1000, gen, cfg_g, key=key)
+    assert hidden.shape == noisy.shape == (1000, 4)
+
+
+def test_mse_rec_runs_and_is_small_for_perfect_model():
+    # Model whose output bias equals the data: reconstruction must be exact.
+    m = mcpc.PCModel([mcpc.Linear(2, 2), mcpc.PC(), mcpc.Linear(2, 8)])
+    target_img = jnp.array([1.0, 1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 0.0])
+    params = (
+        {"w": jnp.zeros((2, 2)), "b": jnp.zeros((2,))},
+        {"w": jnp.zeros((2, 8)), "b": 10.0 * (2 * target_img - 1)},
+    )
+    gen = mcpc.GenerativeModel(m, key=0, params=params)
+    config = {
+        "loss_fn": mcpc.bernoulli_fn,
+        "input_size": 2,
+        "input_var": 1.0,
+        "T_pc": 10,
+        "optimizer_x_fn_pc": "adam",
+        "optimizer_x_kwargs_pc": {"lr": 0.1},
+    }
+    data = jnp.tile(target_img[None], (4, 1))
+    mse = get_mse_rec(gen, config, [(data, None)])
+    assert mse < 1e-6
+
+
+def test_linear_classifier_probe():
+    rng = np.random.RandomState(0)
+    n = 600
+    labels = rng.randint(0, 10, n)
+    # linearly separable representations: one-hot + noise
+    reps = np.eye(10)[labels] * 3.0 + 0.3 * rng.randn(n, 10)
+    clf, best = train_linear_classifier(
+        reps.astype(np.float32), labels, epochs=10
+    )
+    acc = classifier_accuracy(clf, reps.astype(np.float32), labels)
+    assert acc > 0.9
