@@ -107,7 +107,9 @@ def generated_images(
     if loss_fn is fe_fn or loss_fn == "fe_fn":
         images = (images > 0).astype(np.float32)
     elif loss_fn is bernoulli_fn or loss_fn == "bernoulli_fn":
-        images = 1.0 / (1.0 + np.exp(-images))
+        from scipy.special import expit
+
+        images = expit(images)
     return images
 
 

@@ -1,0 +1,226 @@
+"""MNIST training entry points — the producers missing from the reference.
+
+The reference ships 28 pre-trained checkpoints but no script that creates
+them (SURVEY.md §2.3 "missing-asset gaps"); only the trainer factories with
+``training=True`` paths exist (utils/training_evaluation.py:16-70).  The
+per-batch schedule here follows the workload the reference documents for
+training: a PC warm start followed by an MCPC chain whose sampling window
+accumulates the Monte-Carlo weight gradient (250 PC + 50 mixing + 100
+sampling per batch, table_1.py:38-44 scale), or pure PC for the PC models.
+
+Usage:
+    python -m montecarlopredictivecoding_tpu.experiments.train_mnist \
+        --model mcpc --epochs 10 --out models/mcpc_fid_1.msgpack
+    python -m ...train_mnist --model pc|dlgm|resnet9
+    python -m ...train_mnist --model mcpc --snapshot-epochs 0 5 10 15 30 35 \
+        --out models/epoch_save/mcpc_aging_0   # developmental study snapshots
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+import montecarlopredictivecoding_tpu as mcpc
+from ..data import get_mnist_data
+from ..models.factory import get_mcpc_trainer, get_model, get_pc_trainer
+from ..utils.checkpoint import save_checkpoint
+
+
+def mcpc_training_config() -> dict:
+    return {
+        "batch_size_train": 256,
+        "batch_size_val": 1024,
+        "batch_size_test": 1024,
+        "input_size": 20,
+        "hidden_size": 128,
+        "hidden2_size": 128,
+        "output_size": 784,
+        "loss_fn": mcpc.bernoulli_fn,
+        "activation_fn": "relu",
+        "input_var": None,
+        "T_pc": 250,
+        "optimizer_x_fn_pc": "adam",
+        "optimizer_x_kwargs_pc": {"lr": 0.7},
+        "mixing": 50,
+        "sampling": 100,
+        "optimizer_x_kwargs_mcpc": {"lr": 0.1},
+        "optimizer_p_fn_mcpc": "adam",
+        "optimizer_p_kwargs_mcpc": {"lr": 0.01},
+    }
+
+
+def pc_training_config() -> dict:
+    return {
+        "batch_size_train": 128,
+        "batch_size_val": 1024,
+        "batch_size_test": 1024,
+        "input_size": 20,
+        "hidden_size": 128,
+        "hidden2_size": 128,
+        "output_size": 784,
+        "loss_fn": mcpc.bernoulli_fn,
+        "activation_fn": "relu",
+        "input_var": None,
+        "T_pc": 250,
+        "optimizer_x_fn_pc": "adam",
+        "optimizer_x_kwargs_pc": {"lr": 0.1},
+        "optimizer_p_fn": "adam",
+        "optimizer_p_kwargs": {"lr": 0.001},
+    }
+
+
+def train_mcpc(
+    epochs: int,
+    out: str,
+    seed: int = 0,
+    snapshot_epochs=(),
+    batches_per_epoch=None,
+    log: bool = True,
+):
+    """MCPC MNIST training: per batch, PC warm start (update_p never) then an
+    MCPC chain with the Monte-Carlo-accumulated weight update — the canonical
+    pattern (reference utils/model.py:121-149 with training factories)."""
+    config = mcpc_training_config()
+    train, _, _ = get_mnist_data(config, seed=seed)
+    gen = get_model(config, key=seed)
+    pc_warm = get_pc_trainer(gen, config, is_mcpc=True, training=True)
+    mc = get_mcpc_trainer(gen, config, training=True)
+
+    def snap(tag):
+        path = out + (f"_epoch{tag}" if tag is not None else "")
+        save_checkpoint(path if path.endswith(".msgpack") else path + ".msgpack", gen.params)
+
+    if 0 in snapshot_epochs:
+        snap("_init")
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        for i, (data, _) in enumerate(train):
+            if batches_per_epoch is not None and i >= batches_per_epoch:
+                break
+            pseudo = jnp.zeros((data.shape[0], config["input_size"]))
+            pc_warm.train_on_batch(
+                pseudo,
+                loss_fn=config["loss_fn"],
+                loss_fn_kwargs={"_target": data},
+                is_return_results_every_t=False,
+            )
+            mc.train_on_batch(
+                pseudo,
+                loss_fn=config["loss_fn"],
+                loss_fn_kwargs={"_target": data},
+                callback_after_t=mcpc.LangevinStep(var=2.0),
+                is_sample_x_at_batch_start=False,
+                is_return_results_every_t=False,
+            )
+        if log:
+            print(f"epoch {epoch}: {time.time() - t0:.1f}s")
+        if epoch in snapshot_epochs:
+            snap(epoch)
+    if not snapshot_epochs:
+        snap(None)
+    return gen
+
+
+def train_pc(epochs: int, out: str, seed: int = 0, batches_per_epoch=None, log=True):
+    """PC MNIST training: T_pc MAP steps then one weight update per batch."""
+    config = pc_training_config()
+    train, _, _ = get_mnist_data(config, seed=seed)
+    gen = get_model(config, key=seed)
+    trainer = get_pc_trainer(gen, config, is_mcpc=False, training=True)
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        for i, (data, _) in enumerate(train):
+            if batches_per_epoch is not None and i >= batches_per_epoch:
+                break
+            pseudo = jnp.zeros((data.shape[0], config["input_size"]))
+            trainer.train_on_batch(
+                pseudo,
+                loss_fn=config["loss_fn"],
+                loss_fn_kwargs={"_target": data},
+                is_return_results_every_t=False,
+            )
+        if log:
+            print(f"epoch {epoch}: {time.time() - t0:.1f}s")
+    save_checkpoint(out if out.endswith(".msgpack") else out + ".msgpack", gen.params)
+    return gen
+
+
+def train_dlgm(epochs: int, out: str, seed: int = 0, log=True):
+    from ..models.dlgm import DLGM
+
+    config = {
+        "loss_fn": mcpc.bernoulli_fn,
+        "batch_size_train": 64,
+        "batch_size_val": 1024,
+        "batch_size_test": 1024,
+    }
+    train, _, _ = get_mnist_data(config, seed=seed)
+    dlgm = DLGM(input_dim=784, hidden_dim=256, latent_dim=20, factor_recog=1, key=seed)
+    dlgm.train(train, epochs=epochs, log=log)
+    save_checkpoint(
+        out if out.endswith(".msgpack") else out + ".msgpack",
+        (dlgm.gen_params, dlgm.rec_params),
+    )
+    return dlgm
+
+
+def train_resnet9_entry(epochs: int, out: str, seed: int = 0, is_mask: bool = False):
+    from flax import serialization
+
+    from ..models.resnet9 import train_resnet9
+
+    config = {
+        "loss_fn": mcpc.bernoulli_fn,
+        "batch_size_train": 128,
+        "batch_size_val": 1024,
+        "batch_size_test": 1024,
+    }
+    train, _, _ = get_mnist_data(config, seed=seed)
+    model, state = train_resnet9(train, epochs=epochs, is_mask=is_mask, log_every=100)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    path = out if out.endswith(".msgpack") else out + ".msgpack"
+    with open(path, "wb") as f:
+        f.write(
+            serialization.to_bytes(
+                {"params": state.params, "batch_stats": state.batch_stats}
+            )
+        )
+    return model, state
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", choices=["mcpc", "pc", "dlgm", "resnet9", "resnet9_mask"], required=True)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--out", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batches-per-epoch", type=int, default=None)
+    p.add_argument("--snapshot-epochs", type=int, nargs="*", default=[])
+    args = p.parse_args()
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+
+    if args.model == "mcpc":
+        train_mcpc(
+            args.epochs,
+            args.out,
+            seed=args.seed,
+            snapshot_epochs=tuple(args.snapshot_epochs),
+            batches_per_epoch=args.batches_per_epoch,
+        )
+    elif args.model == "pc":
+        train_pc(args.epochs, args.out, seed=args.seed, batches_per_epoch=args.batches_per_epoch)
+    elif args.model == "dlgm":
+        train_dlgm(args.epochs, args.out, seed=args.seed)
+    else:
+        train_resnet9_entry(
+            args.epochs, args.out, seed=args.seed, is_mask=args.model.endswith("mask")
+        )
+
+
+if __name__ == "__main__":
+    main()

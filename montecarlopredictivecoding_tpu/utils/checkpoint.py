@@ -93,3 +93,56 @@ def load_torch_state_dict(path: str, model: tp.Optional[PCModel] = None) -> tupl
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return torch_state_dict_to_params(sd, model)
+
+
+def _t(v) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v))
+
+
+def torch_dlgm_state_dict_to_params(state_dict: tp.Mapping[str, tp.Any]):
+    """Convert a reference DLGM checkpoint (nested-module state dict with
+    ``generative_model.*`` / ``recognition_model.node_list.N.*`` keys,
+    reference evaluate.py:58-60 / DLGM.py:216-228) into our
+    (gen_params, rec_params) pytrees for :class:`..models.dlgm.DLGM`."""
+    gen: dict = {"bias": None, "T": [], "final": None}
+    for k in sorted(state_dict):
+        m = re.fullmatch(r"generative_model\.T_list\.(\d+)\.1\.weight", k)
+        if m:
+            i = int(m.group(1))
+            while len(gen["T"]) <= i:
+                gen["T"].append({})
+            gen["T"][i]["w"] = _t(state_dict[k]).T
+            gen["T"][i]["b"] = _t(state_dict[f"generative_model.T_list.{i}.1.bias"])
+    if "generative_model.bias.bias" in state_dict:
+        gen["bias"] = _t(state_dict["generative_model.bias.bias"])
+    gen["final"] = {
+        "w": _t(state_dict["generative_model.final.1.weight"]).T,
+        "b": _t(state_dict["generative_model.final.1.bias"]),
+    }
+    if gen["bias"] is None:
+        # first T block's input dim gives the top latent dim
+        gen["bias"] = jnp.zeros((gen["T"][0]["w"].shape[0],))
+
+    nets = []
+    i = 0
+    while f"recognition_model.node_list.{i}.fc1.weight" in state_dict:
+        p = f"recognition_model.node_list.{i}"
+        nets.append(
+            {
+                "fc1": {"w": _t(state_dict[p + ".fc1.weight"]).T,
+                        "b": _t(state_dict[p + ".fc1.bias"])},
+                "mu": {"w": _t(state_dict[p + ".fc21.weight"]).T,
+                       "b": _t(state_dict[p + ".fc21.bias"])},
+                "cov": {"w": _t(state_dict[p + ".fc22.weight"]).T,
+                        "b": _t(state_dict[p + ".fc22.bias"])},
+            }
+        )
+        i += 1
+    return gen, {"nets": nets}
+
+
+def load_torch_dlgm(path: str):
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return torch_dlgm_state_dict_to_params(sd)

@@ -1,0 +1,143 @@
+"""Smoke tests for the experiment drivers at tiny scale: every figure/table
+pipeline must run end-to-end and produce its artifacts (with random-init
+fallbacks when checkpoints are absent)."""
+
+import os
+import warnings
+
+import numpy as np
+import pytest
+
+from montecarlopredictivecoding_tpu.experiments.common import ExperimentContext
+
+
+@pytest.fixture
+def ctx(tmp_path):
+    return ExperimentContext(
+        path_models=str(tmp_path / "models"),
+        path_figures=str(tmp_path / "figures"),
+        scale=0.01,
+        reference_models=str(tmp_path / "nonexistent"),  # force fallbacks
+    )
+
+
+def test_figure2_linear(ctx):
+    from montecarlopredictivecoding_tpu.experiments.figure_2 import posterior_linear_model
+
+    ctx.scale = 0.25  # T_pc=500 Adam steps: enough to converge from x0=3
+    res = posterior_linear_model(ctx)
+    # analytic posterior for mu0=.2, w=2, var=1, y=1:
+    prec = 1 + 4.0
+    mean = (0.2 + 2.0 * 1.0) / prec
+    assert abs(res["map"] - mean) < 0.05
+    assert abs(res["samples_mean"] - mean) < 0.15
+    assert os.path.isfile(os.path.join(ctx.path_figures, "2a.svg"))
+    assert os.path.isfile(os.path.join(ctx.path_figures, "2b.gif"))
+
+
+def test_figure3_linear(ctx):
+    from montecarlopredictivecoding_tpu.experiments.figure_3 import generation_linear_model
+
+    ctx.scale = 0.15
+    res = generation_linear_model(ctx)
+    # marginal: mean = w*mu = 1.0, var = w^2 + input_var = 5
+    assert abs(res["mean"] - 1.0) < 0.5
+    assert abs(res["var"] - 5.0) < 2.0
+    assert os.path.isfile(os.path.join(ctx.path_figures, "3a.svg"))
+
+
+def test_figure4_landscapes_and_comparison(ctx):
+    import matplotlib.pyplot as plt
+
+    from montecarlopredictivecoding_tpu.experiments.figure_4 import (
+        comparison_linear_model,
+        mcpc_landscape,
+        pc_landscape,
+    )
+
+    fig, ax = plt.subplots()
+    mcpc_landscape(ax)
+    pc_landscape(ax)
+    plt.close("all")
+
+    ctx.scale = 0.08
+    res = comparison_linear_model(ctx)
+    # MCPC should capture more of the data variance (5.0) than PC, whose
+    # generative variance collapses toward w^2+1 at its fixed point.
+    assert res["mcpc_var"] > res["pc_var"]
+    assert os.path.isfile(os.path.join(ctx.path_figures, "4a.svg"))
+
+
+def test_figure6_sweep(ctx):
+    from montecarlopredictivecoding_tpu.experiments.figure_6 import varying_langevin_noise
+
+    ctx.scale = 0.05
+    noise_vars, gen_vars, weights = varying_langevin_noise(
+        ctx, np.array([2.0, 16.0])
+    )
+    assert len(gen_vars) == 2 and np.all(np.isfinite(gen_vars))
+    # correct noise (2.0) learns a larger |W| than badly mismatched noise
+    assert abs(weights[0][1]) > abs(weights[1][1])
+
+
+def test_table1_smoke(ctx):
+    from montecarlopredictivecoding_tpu.experiments.table_1 import (
+        get_models_fids,
+        get_models_ml,
+        get_models_mse,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # random-init fallback warnings
+        fids = get_models_fids(ctx, seeds=(1,), n_samples=200)
+        mses = get_models_mse(ctx, seeds=(1,))
+        mls = get_models_ml(ctx, seeds=(1,), n_samples=100, n_batches=1)
+    assert np.all(np.isfinite(fids))
+    assert np.all(np.isfinite(mses)) and np.all(mses >= 0)
+    assert np.all(np.isfinite(mls)) and np.all(mls < 0)
+
+
+def test_figure5_panels(ctx, tmp_path):
+    import matplotlib.pyplot as plt
+
+    from montecarlopredictivecoding_tpu.experiments.figure_5 import (
+        berkes_2011,
+        churchland_2010,
+        similarity_increase_digit,
+        variability_stimulus_onset_nonlinear,
+    )
+
+    berkes_2011()
+    churchland_2010()
+    plt.close("all")
+
+    ctx.scale = 0.01
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        kls = similarity_increase_digit(ctx, epochs=(0,), seeds=range(2))
+        assert kls.shape == (3, 1, 2) and np.all(np.isfinite(kls))
+        fig, ax = plt.subplots()
+        mean, sem = variability_stimulus_onset_nonlinear(ctx, ax, mode="mcpc")
+        assert np.isfinite(np.nanmean(mean))
+    plt.close("all")
+
+
+def test_train_mnist_entry_points(tmp_path):
+    from montecarlopredictivecoding_tpu.experiments import train_mnist
+
+    out = str(tmp_path / "ck" / "mcpc_test")
+    # tiny run: 1 epoch, 2 batches
+    cfg = train_mnist.mcpc_training_config()
+    import montecarlopredictivecoding_tpu as mcpc  # noqa
+
+    # shrink for smoke test
+    train_mnist.mcpc_training_config = lambda: {
+        **cfg, "T_pc": 5, "mixing": 2, "sampling": 3, "batch_size_train": 32,
+        "input_size": 4, "hidden_size": 8, "hidden2_size": 8,
+    }
+    try:
+        gen = train_mnist.train_mcpc(1, out, batches_per_epoch=2, log=False)
+    finally:
+        train_mnist.mcpc_training_config = lambda: cfg
+    assert os.path.isfile(out + ".msgpack")
+    assert gen.params[0]["w"].shape == (4, 4)
