@@ -1,0 +1,389 @@
+"""Fused whole-chain MCPC kernel (Pallas, TPU).
+
+The hot loop of the framework — T Langevin steps over the canonical
+generative MLP (reference workload: ``pc_trainer.py:712`` loop at
+figure_2.py:167-173 scale) — as ONE kernel: weights, latents, the target and
+the parameter-gradient accumulators live in VMEM for the entire chain, the
+per-step Gaussian noise comes from the on-core PRNG (Box-Muller over
+``pltpu.prng_random_bits``), and each step is a handful of MXU matmuls plus
+VPU elementwise work.  Zero HBM traffic inside the loop.
+
+Topology (must match ``make_mlp_model``):
+
+    zeros -> Linear(d0,d0) -> PC(x0) -> ReLU -> Linear(d0,d1) -> PC(x1)
+          -> ReLU -> Linear(d1,d2) -> PC(x2) -> ReLU -> Linear(d2,D) -> loss
+
+Energy and closed-form gradients (the same math jax.grad derives in the
+scan engine — parity-tested against it):
+
+    err_l = x_l - mu_l                      (mu0 = b0: zeros pseudo-input)
+    s     = dLoss/dlogits   (Bernoulli: sigmoid(logits) - y;
+                             Gaussian: (logits - y)/var;  unclamped: 0)
+    dE/dx2 = err2 + relu'(x2) * (s @ W3ᵀ)
+    dE/dx1 = err1 - relu'(x1) * (err2 @ W2ᵀ)
+    dE/dx0 = err0 - relu'(x0) * (err1 @ W1ᵀ)
+    x_l   <- x_l - lr * dE/dx_l + sqrt(lr * var) * eps
+
+Optional Monte-Carlo parameter-gradient accumulation over steps
+t >= mixing (the MCPC learning rule, reference pc_trainer.py:848-914):
+
+    gW3 += relu(x2)ᵀ s        gb3 += Σ_b s
+    gW2 += -relu(x1)ᵀ err2    gb2 += -Σ_b err2     (same for layer 1)
+    gb0 += -Σ_b err0          (gW0 = 0: zeros input)
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.model import PCModel
+from ..core.modules import PC, Activation, Linear
+
+
+def supports_model(model: PCModel, activation: str = "relu") -> bool:
+    """The kernel covers the canonical 4-Linear ReLU MLP with 3 PC sites."""
+    kinds = [type(m).__name__ for m in model.modules]
+    if kinds != [
+        "Linear", "PC", "Activation", "Linear", "PC", "Activation",
+        "Linear", "PC", "Activation", "Linear",
+    ]:
+        return False
+    return all(
+        m.name == activation for m in model.modules if isinstance(m, Activation)
+    )
+
+
+def _normals(shape):
+    """Standard normals via Box-Muller over on-core random bits, using both
+    the cos and sin branches so each (log, sqrt) pair yields two normals."""
+    rows, cols = shape
+    half = (cols + 1) // 2
+    b1 = pltpu.prng_random_bits((rows, half))
+    b2 = pltpu.prng_random_bits((rows, half))
+    # mask to 24 low bits (int32-safe: result is non-negative), then scale to
+    # uniforms in (0, 1]
+    u1 = (b1 & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+    u2 = (b2 & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = 2.0 * np.pi * u2
+    z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
+    return z[:, :cols]
+
+
+def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
+                        loss: str, inv_var: float, with_pgrads: bool,
+                        dims: tuple, bf16_matmul: bool = True):
+    """Packed variant: one block-diagonal matmul per direction per step.
+
+    All PC-site predictions depend only on the *current* latents, so the
+    forward projections mu1/mu2/logits fuse into a single
+    ``relu(X) @ blockdiag(W1, W2, W3)`` with X = [x0 | x1 | x2], and the
+    backward projections into one matmul against its transpose.  This trades
+    ~3x extra (zero-block) FLOPs for ~5x fewer MXU dispatches — a win because
+    the small per-layer matmuls are latency-bound, not FLOP-bound.
+    """
+    d0, d1, d2, D = dims
+    c0, c1, c2 = 0, d0, d0 + d1  # column offsets of x0/x1/x2 in X
+    xw = d0 + d1 + d2            # total latent width
+    o1_, o2_, o3_ = 0, d1, d1 + d2  # column offsets of mu1/mu2/logits
+    ow = d1 + d2 + D
+
+    def kernel(
+        seed_ref,  # SMEM [1]
+        wf, b0, b_cat,  # packed params: blockdiag fwd weights, prior bias, cat biases
+        x_in,  # packed latents [B, xw]
+        y,  # target [B, D]
+        x_out,  # packed latents out
+        *rest,  # (gw_full [xw, ow], gb_cat [ow], gb0 [d0]) when with_pgrads
+    ):
+        if noise_std > 0.0:  # seeding is TPU-only; skip on deterministic runs
+            pltpu.prng_seed(seed_ref[0])
+        if with_pgrads:
+            gw_full, gb_cat, gb0 = rest
+            gw_full[...] = jnp.zeros_like(gw_full)
+            gb_cat[...] = jnp.zeros_like(gb_cat)
+            gb0[...] = jnp.zeros_like(gb0)
+
+        x_out[...] = x_in[...]
+
+        def mm(a, b):
+            if bf16_matmul:
+                a = a.astype(jnp.bfloat16)
+                b = b.astype(jnp.bfloat16)
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        def step(t, _):
+            X = x_out[...]
+            H = jnp.maximum(X, 0.0)
+            MU = mm(H, wf[...]) + b_cat[...][None, :]  # [B, d1+d2+D]
+
+            err0 = X[:, c1 - d0 : c1] - b0[...][None, :]
+            err1 = X[:, c1 : c1 + d1] - MU[:, o1_ : o1_ + d1]
+            err2 = X[:, c2 : c2 + d2] - MU[:, o2_ : o2_ + d2]
+            logits = MU[:, o3_ : o3_ + D]
+
+            if loss == "bernoulli":
+                s = jax.nn.sigmoid(logits) - y[...]
+            elif loss == "gaussian":
+                s = (logits - y[...]) * inv_var
+            else:
+                s = jnp.zeros_like(logits)
+
+            # pack the backward vector V = [err1 | err2 | -s]; then
+            # V @ wfᵀ = [err1@W1ᵀ | err2@W2ᵀ | -s@W3ᵀ]
+            V = jnp.concatenate([err1, err2, -s], axis=1)
+            back = mm(V, wf[...].T)  # [B, xw]
+            err_cat = jnp.concatenate([err0, err1, err2], axis=1)
+            G = err_cat - jnp.where(X > 0, 1.0, 0.0) * back
+
+            if with_pgrads:
+                @pl.when(t >= mixing)
+                def _():
+                    # Hᵀ @ [-err1 | -err2 | s]: diagonal blocks are the grads
+                    gw_full[...] += mm(H.T, -V)
+                    gb_cat[...] += jnp.sum(-V, axis=0)
+                    gb0[...] += jnp.sum(-err0, axis=0)
+
+            if noise_std > 0.0:
+                x_out[...] = X - lr * G + noise_std * _normals(X.shape)
+            else:
+                x_out[...] = X - lr * G
+            return ()
+
+        jax.lax.fori_loop(0, T, step, ())
+
+    return kernel
+
+
+def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
+                 loss: str, inv_var: float, with_pgrads: bool,
+                 bf16_matmul: bool = True):
+    def kernel(
+        seed_ref,  # SMEM [1]
+        w0, b0, w1, b1, w2, b2, w3, b3,  # params (VMEM)
+        x0, x1, x2,  # latents in
+        y,  # target
+        o0, o1, o2,  # latents out
+        *rest,  # pgrad outputs when with_pgrads: gw1 gb1 gw2 gb2 gw3 gb3 gb0
+    ):
+        if noise_std > 0.0:  # seeding is TPU-only; skip on deterministic runs
+            pltpu.prng_seed(seed_ref[0])
+
+        if with_pgrads:
+            gw1, gb1, gw2, gb2, gw3, gb3, gb0 = rest
+            gw1[...] = jnp.zeros_like(gw1)
+            gb1[...] = jnp.zeros_like(gb1)
+            gw2[...] = jnp.zeros_like(gw2)
+            gb2[...] = jnp.zeros_like(gb2)
+            gw3[...] = jnp.zeros_like(gw3)
+            gb3[...] = jnp.zeros_like(gb3)
+            gb0[...] = jnp.zeros_like(gb0)
+
+        o0[...] = x0[...]
+        o1[...] = x1[...]
+        o2[...] = x2[...]
+
+        # optionally run the MXU in bfloat16 with float32 accumulation —
+        # the latent/parameter state stays float32
+        def mm(a, b):
+            if bf16_matmul:
+                a = a.astype(jnp.bfloat16)
+                b = b.astype(jnp.bfloat16)
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        def step(t, _):
+            x0v, x1v, x2v = o0[...], o1[...], o2[...]
+
+            # forward: predictions and errors
+            err0 = x0v - b0[...][None, :]
+            h0 = jnp.maximum(x0v, 0.0)
+            mu1 = mm(h0, w1[...]) + b1[...][None, :]
+            err1 = x1v - mu1
+            h1 = jnp.maximum(x1v, 0.0)
+            mu2 = mm(h1, w2[...]) + b2[...][None, :]
+            err2 = x2v - mu2
+            h2 = jnp.maximum(x2v, 0.0)
+            logits = mm(h2, w3[...]) + b3[...][None, :]
+
+            if loss == "bernoulli":
+                s = jax.nn.sigmoid(logits) - y[...]
+            elif loss == "gaussian":
+                s = (logits - y[...]) * inv_var
+            else:  # unclamped
+                s = jnp.zeros_like(logits)
+
+            # latent gradients (backward through one layer each)
+            g2 = err2 + jnp.where(x2v > 0, 1.0, 0.0) * mm(s, w3[...].T)
+            g1 = err1 - jnp.where(x1v > 0, 1.0, 0.0) * mm(err2, w2[...].T)
+            g0 = err0 - jnp.where(x0v > 0, 1.0, 0.0) * mm(err1, w1[...].T)
+
+            # parameter-gradient accumulation over the sampling window
+            if with_pgrads:
+                @pl.when(t >= mixing)
+                def _():
+                    gw3[...] += mm(h2.T, s)
+                    gb3[...] += jnp.sum(s, axis=0)
+                    gw2[...] += mm(h1.T, -err2)
+                    gb2[...] += jnp.sum(-err2, axis=0)
+                    gw1[...] += mm(h0.T, -err1)
+                    gb1[...] += jnp.sum(-err1, axis=0)
+                    gb0[...] += jnp.sum(-err0, axis=0)
+
+            # Langevin update
+            if noise_std > 0.0:
+                n0 = _normals(x0v.shape)
+                n1 = _normals(x1v.shape)
+                n2 = _normals(x2v.shape)
+                o0[...] = x0v - lr * g0 + noise_std * n0
+                o1[...] = x1v - lr * g1 + noise_std * n1
+                o2[...] = x2v - lr * g2 + noise_std * n2
+            else:
+                o0[...] = x0v - lr * g0
+                o1[...] = x1v - lr * g1
+                o2[...] = x2v - lr * g2
+            return ()
+
+        jax.lax.fori_loop(0, T, step, ())
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "T", "mixing", "lr", "noise_var", "loss", "input_var",
+        "with_pgrads", "interpret", "bf16_matmul", "packed",
+    ),
+)
+def mcpc_chain_pallas(
+    params: tuple,
+    latents: tuple,
+    target: jax.Array,
+    seed: jax.Array,
+    *,
+    T: int,
+    lr: float,
+    noise_var: tp.Optional[float] = 2.0,
+    loss: str = "bernoulli",  # 'bernoulli' | 'gaussian' | 'none'
+    input_var: float = 1.0,
+    mixing: int = 0,
+    with_pgrads: bool = False,
+    interpret: bool = False,
+    bf16_matmul: bool = False,
+    packed: bool = True,
+):
+    """Run T fused MCPC steps; returns (latents', pgrads or None).
+
+    pgrads mirror the params structure (gw0 is zeros — the pseudo-input is
+    zeros so the first weight never receives gradient, matching the engine).
+    """
+    w0, w1, w2, w3 = (p["w"] for p in params)
+    b0, b1, b2, b3 = (p["b"] for p in params)
+    x0, x1, x2 = latents
+    B = x0.shape[0]
+    noise_std = float(np.sqrt(lr * noise_var)) if noise_var else 0.0
+
+    if packed:
+        d0, d1, d2 = x0.shape[1], x1.shape[1], x2.shape[1]
+        D = w3.shape[1]
+        dims = (d0, d1, d2, D)
+        xw, ow = d0 + d1 + d2, d1 + d2 + D
+        wf = jnp.zeros((xw, ow), jnp.float32)
+        wf = wf.at[0:d0, 0:d1].set(w1)
+        wf = wf.at[d0 : d0 + d1, d1 : d1 + d2].set(w2)
+        wf = wf.at[d0 + d1 :, d1 + d2 :].set(w3)
+        b_cat = jnp.concatenate([b1, b2, b3])
+        X = jnp.concatenate([x0, x1, x2], axis=1)
+
+        kernel = _make_packed_kernel(
+            T=T, mixing=mixing, lr=lr, noise_std=noise_std,
+            loss=loss, inv_var=1.0 / input_var, with_pgrads=with_pgrads,
+            dims=dims, bf16_matmul=bf16_matmul,
+        )
+        out_shapes = [jax.ShapeDtypeStruct((B, xw), jnp.float32)]
+        if with_pgrads:
+            out_shapes += [
+                jax.ShapeDtypeStruct((xw, ow), jnp.float32),
+                jax.ShapeDtypeStruct((ow,), jnp.float32),
+                jax.ShapeDtypeStruct((d0,), jnp.float32),
+            ]
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 5,
+            out_specs=[vmem] * len(out_shapes),
+            interpret=interpret,
+        )(
+            jnp.asarray(seed, dtype=jnp.int32).reshape(1),
+            wf, b0, b_cat,
+            X,
+            target if target is not None else jnp.zeros((B, D), jnp.float32),
+        )
+        Xo = outs[0]
+        new_latents = (Xo[:, 0:d0], Xo[:, d0 : d0 + d1], Xo[:, d0 + d1 :])
+        if not with_pgrads:
+            return new_latents, None
+        gw_full, gb_cat, gb0 = outs[1:]
+        pgrads = (
+            {"w": jnp.zeros_like(w0), "b": gb0},
+            {"w": gw_full[0:d0, 0:d1], "b": gb_cat[0:d1]},
+            {"w": gw_full[d0 : d0 + d1, d1 : d1 + d2], "b": gb_cat[d1 : d1 + d2]},
+            {"w": gw_full[d0 + d1 :, d1 + d2 :], "b": gb_cat[d1 + d2 :]},
+        )
+        return new_latents, pgrads
+
+    kernel = _make_kernel(
+        T=T, mixing=mixing, lr=lr, noise_std=noise_std,
+        loss=loss, inv_var=1.0 / input_var, with_pgrads=with_pgrads,
+        bf16_matmul=bf16_matmul,
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(x0.shape, jnp.float32),
+        jax.ShapeDtypeStruct(x1.shape, jnp.float32),
+        jax.ShapeDtypeStruct(x2.shape, jnp.float32),
+    ]
+    if with_pgrads:
+        out_shapes += [
+            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b1.shape, jnp.float32),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b2.shape, jnp.float32),
+            jax.ShapeDtypeStruct(w3.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b3.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b0.shape, jnp.float32),
+        ]
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_in = 13
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * (n_in - 1),
+        out_specs=[vmem] * len(out_shapes),
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, dtype=jnp.int32).reshape(1),
+        w0, b0, w1, b1, w2, b2, w3, b3,
+        x0, x1, x2,
+        target if target is not None else jnp.zeros((B, w3.shape[1]), jnp.float32),
+    )
+    new_latents = tuple(outs[:3])
+    if not with_pgrads:
+        return new_latents, None
+    gw1, gb1, gw2, gb2, gw3, gb3, gb0 = outs[3:]
+    pgrads = (
+        {"w": jnp.zeros_like(w0), "b": gb0},
+        {"w": gw1, "b": gb1},
+        {"w": gw2, "b": gb2},
+        {"w": gw3, "b": gb3},
+    )
+    return new_latents, pgrads

@@ -1,0 +1,140 @@
+"""Pallas fused-kernel tests (CPU interpret mode; deterministic paths).
+
+The noise law and TPU throughput are exercised on hardware by bench.py; here
+the kernel's math is checked against the scan engine (which is itself
+parity-tested against the torch reference).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import montecarlopredictivecoding_tpu as mcpc
+from montecarlopredictivecoding_tpu.core.engine import (
+    EngineConfig,
+    EngineState,
+    build_train_on_batch,
+)
+from montecarlopredictivecoding_tpu.core.optim import OptimizerSpec
+from montecarlopredictivecoding_tpu.core.schedule import build_plan
+from montecarlopredictivecoding_tpu.ops import mcpc_chain_pallas, supports_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = mcpc.make_mlp_model(4, 8, 8, 16)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key)
+    B = 8
+    latents = model.init_latents(params, jnp.zeros((B, 4)), key)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    return model, params, latents, target
+
+
+def _engine_run(model, params, latents, target, T, lr, loss_fn, loss_kwargs):
+    cfg = EngineConfig(
+        plan=build_plan(T, "all", "never"),
+        optimizer_x=OptimizerSpec("sgd", lr=lr),
+        optimizer_p=None,
+        langevin_var=None,
+        loss_fn=loss_fn,
+        capture_every_t=False,
+    )
+    fn = jax.jit(build_train_on_batch(model, cfg))
+    st = EngineState(
+        params=params, latents=latents,
+        opt_x_state=cfg.optimizer_x.make().init({"latents": latents}),
+        opt_p_state=None, lr_scale=jnp.ones(()), key=jax.random.PRNGKey(0),
+    )
+    ns, _ = fn(st, jnp.zeros((latents[0].shape[0], latents[0].shape[1])), loss_kwargs)
+    return ns.latents
+
+
+def test_supports_model(setup):
+    model = setup[0]
+    assert supports_model(model)
+    assert not supports_model(mcpc.PCModel([mcpc.Linear(2, 2), mcpc.PC(), mcpc.Linear(2, 2)]))
+
+
+@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize(
+    "loss,kwargs,loss_name,input_var",
+    [
+        (mcpc.bernoulli_fn, "b", "bernoulli", 1.0),
+        (mcpc.fe_fn, "g", "gaussian", 0.5),
+        (mcpc.zero_fn, "z", "none", 1.0),
+    ],
+)
+def test_kernel_matches_engine(setup, packed, loss, kwargs, loss_name, input_var):
+    model, params, latents, target = setup
+    T, lr = 20, 0.02
+    if kwargs == "b":
+        lk = {"_target": target}
+    elif kwargs == "g":
+        lk = {"_target": target, "_var": input_var}
+    else:
+        lk = {}
+    eng = _engine_run(model, params, latents, target, T, lr, loss, lk)
+    pal, _ = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(0),
+        T=T, lr=lr, noise_var=None, loss=loss_name, input_var=input_var,
+        packed=packed, interpret=True,
+    )
+    for a, b in zip(eng, pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_kernel_pgrads_match_engine(setup, packed):
+    model, params, latents, target = setup
+    T, mixing, lr = 12, 4, 0.02
+    # manual accumulation with jax.grad (the engine's math)
+    import optax
+
+    opt_x = OptimizerSpec("sgd", lr=lr).make()
+    xs = {"latents": latents}
+    sx = opt_x.init(xs)
+    pg = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def obj(xs_tree, params):
+        res = model.apply(params, xs_tree["latents"], jnp.zeros((8, 4)))
+        return mcpc.bernoulli_fn(res.output, target) + sum(res.energies)
+
+    vg = jax.jit(jax.value_and_grad(obj, argnums=(0, 1)))
+    for t in range(T):
+        _, (gx, gp) = vg(xs, params)
+        xs = optax.apply_updates(xs, opt_x.update(gx, sx, xs)[0])
+        if t >= mixing:
+            pg = jax.tree_util.tree_map(jnp.add, pg, gp)
+
+    _, pgrads = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(0),
+        T=T, lr=lr, noise_var=None, loss="bernoulli",
+        mixing=mixing, with_pgrads=True, packed=packed, interpret=True,
+    )
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(pg[i]["w"]), np.asarray(pgrads[i]["w"]), atol=3e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(pg[i]["b"]), np.asarray(pgrads[i]["b"]), atol=3e-4
+        )
+
+
+def test_packed_equals_unpacked(setup):
+    model, params, latents, target = setup
+    a, ga = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(0), T=15, lr=0.02,
+        noise_var=None, loss="bernoulli", mixing=5, with_pgrads=True,
+        packed=False, interpret=True,
+    )
+    b, gb = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(0), T=15, lr=0.02,
+        noise_var=None, loss="bernoulli", mixing=5, with_pgrads=True,
+        packed=True, interpret=True,
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+    for pa, pb in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(pa["w"]), np.asarray(pb["w"]), atol=1e-4)
