@@ -73,6 +73,7 @@ def build_plan(
     update_x_at: ScheduleLike = "all",
     update_p_at: ScheduleLike = "all",
     accumulate_p_at: ScheduleLike = "never",
+    force_p_grads: bool = False,
 ) -> SchedulePlan:
     """Derive the segment plan from the reference trainer's schedule logic.
 
@@ -91,15 +92,21 @@ def build_plan(
         set(u for u in up if u not in acc) | ({acc[0]} if acc else set())
     )
 
-    # Which steps' parameter gradients can reach an update.
+    # Which steps' parameter gradients can reach an update.  With an
+    # early-stop predicate (force_p_grads) any step up to the last update can
+    # become the effective update step, so grads stay live throughout.
     needed = [False] * T
-    for u in up:
-        z = 0
-        for zs in zero_steps:
-            if zs <= u:
-                z = max(z, zs)
-        for t in range(z, u + 1):
+    if force_p_grads and up:
+        for t in range(0, max(up) + 1):
             needed[t] = True
+    else:
+        for u in up:
+            z = 0
+            for zs in zero_steps:
+                if zs <= u:
+                    z = max(z, zs)
+            for t in range(z, u + 1):
+                needed[t] = True
 
     ux_set = set(ux)
     zero_set = set(zero_steps)

@@ -148,7 +148,15 @@ class PCTrainer:
             else None
         )
         update_p = update_p_at if self.opt_p_spec is not None else "never"
-        self.plan = build_plan(self.T, update_x_at, update_p, accumulate_p_at)
+        self.plan = build_plan(
+            self.T,
+            update_x_at,
+            update_p,
+            accumulate_p_at,
+            # with an early-stop predicate the update can fire at any step, so
+            # parameter grads must stay live from t=0
+            force_p_grads=early_stop_fn is not None,
+        )
         self.x_lr_amplifier = float(x_lr_amplifier)
         self.x_lr_discount = float(x_lr_discount)
         self.loss_x_fn = loss_x_fn
@@ -164,6 +172,9 @@ class PCTrainer:
         self._opt_p_state = None
         self._lr_scale = jnp.ones(())
         self._fns: dict = {}
+        # 'auto': use the fused Pallas chain kernel on TPU when the config
+        # maps onto it (see _pallas_eligible); True/False force/disable.
+        self.use_pallas: tp.Union[str, bool] = "auto"
 
     # -- reference utility surface (pc_trainer.py:312-461) ---------------------
 
@@ -188,6 +199,111 @@ class PCTrainer:
 
     def recreate_optimizer_p(self):
         self._opt_p_state = None
+
+    # -- fused-kernel fast path ---------------------------------------------------
+
+    def _pallas_eligible(self, cfg: EngineConfig, loss_fn, is_optimize_inputs):
+        """The fused whole-chain kernel (ops/pallas_mcpc.py) covers the hot
+        configuration: plain-SGD updates on every step over the canonical
+        MLP, optional Langevin noise, parameter grads accumulated over a
+        contiguous suffix window with a single update at the last step, no
+        per-step captures."""
+        from ..core import losses as L
+        from ..ops import supports_model
+
+        if self.use_pallas is False:
+            return None
+        if self.use_pallas == "auto" and jax.default_backend() != "tpu":
+            return None
+        if not supports_model(self.gen.model):
+            return None
+        if self.opt_x_spec.name != "sgd" or self.opt_x_spec.momentum:
+            return None
+        if cfg.dynamic_x_lr or cfg.early_stop_fn is not None:
+            return None
+        if cfg.loss_x_fn is not None or cfg.loss_inputs_fn is not None or is_optimize_inputs:
+            return None
+        if (
+            cfg.capture_outputs or cfg.capture_representations or cfg.capture_xs
+            or cfg.capture_overall_elementwise or cfg.capture_every_t
+        ):
+            return None
+        plan = cfg.plan
+        if plan.update_x_at != tuple(range(plan.T)):
+            return None
+        loss_name = None
+        if loss_fn is L.bernoulli_fn:
+            loss_name = "bernoulli"
+        elif loss_fn is L.fe_fn:
+            loss_name = "gaussian"
+        elif loss_fn is L.zero_fn or loss_fn is None:
+            loss_name = "none"
+        if loss_name is None:
+            return None
+        if not plan.update_p_at:
+            return {"loss": loss_name, "with_pgrads": False, "mixing": 0}
+        if plan.update_p_at != (plan.T - 1,):
+            return None
+        if plan.accumulate_p_at:
+            acc = plan.accumulate_p_at
+            if acc != tuple(range(acc[0], plan.T)):
+                return None
+            mixing = acc[0]
+        else:
+            mixing = plan.T - 1
+        return {"loss": loss_name, "with_pgrads": True, "mixing": mixing}
+
+    def _run_pallas(self, dispatch, cfg, inputs, loss_fn_kwargs, langevin_var, key):
+        from ..ops import mcpc_chain_pallas
+
+        gen = self.gen
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        target = loss_fn_kwargs.get("_target")
+        input_var = loss_fn_kwargs.get("_var") or 1.0
+        new_latents, pgrads = mcpc_chain_pallas(
+            gen.params,
+            gen.latents,
+            target,
+            seed,
+            T=self.T,
+            lr=self.opt_x_spec.lr,
+            noise_var=langevin_var,
+            loss=dispatch["loss"],
+            input_var=float(input_var),
+            mixing=dispatch["mixing"],
+            with_pgrads=dispatch["with_pgrads"],
+            # off-TPU (use_pallas=True forced, e.g. in tests) run interpreted
+            interpret=jax.default_backend() != "tpu",
+        )
+        gen.latents = new_latents
+        if dispatch["with_pgrads"] and self.opt_p_spec is not None:
+            import optax
+
+            from .engine import tree_scale
+
+            opt_p = self.opt_p_spec.make()
+            if self._opt_p_state is None:
+                self._opt_p_state = opt_p.init(gen.params)
+            divisor = float(cfg.plan.p_divisor_steps * inputs.shape[0])
+            updates, self._opt_p_state = opt_p.update(
+                tree_scale(pgrads, 1.0 / divisor), self._opt_p_state, gen.params
+            )
+            gen.params = optax.apply_updates(gen.params, updates)
+        # final-state scalars, matching is_return_results_every_t=False shape
+        res = gen.model.apply(gen.params, gen.latents, inputs)
+        energy = sum(res.energies)
+        loss = (
+            cfg.loss_fn(res.output, **loss_fn_kwargs)
+            if cfg.loss_fn is not None
+            else jnp.zeros(())
+        )
+        return {
+            "loss": jnp.reshape(loss, (1,)),
+            "energy": jnp.reshape(energy, (1,)),
+            "overall": jnp.reshape(loss + cfg.energy_coefficient * energy, (1,)),
+            "x_lr_scale": jnp.ones((1,)),
+            "stop_t": jnp.full((), -1, dtype=jnp.int32),
+        }
 
     # -- core entry point -------------------------------------------------------
 
@@ -281,6 +397,13 @@ class PCTrainer:
             capture_overall_elementwise=is_return_batchelement_loss,
             capture_stride=int(capture_stride),
         )
+        dispatch = self._pallas_eligible(cfg, loss_fn, is_optimize_inputs)
+        if dispatch is not None:
+            return self._run_pallas(
+                dispatch, cfg, inputs, loss_fn_kwargs, langevin_var,
+                key if key is not None else gen.next_key(),
+            )
+
         fn = self._get_fn(cfg)
 
         opt_x = self.opt_x_spec.make()

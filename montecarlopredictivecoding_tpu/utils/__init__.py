@@ -1,13 +1,29 @@
 from .checkpoint import (
     load_checkpoint,
+    load_torch_dlgm,
     load_torch_state_dict,
     save_checkpoint,
+    torch_dlgm_state_dict_to_params,
     torch_state_dict_to_params,
+)
+from .observability import (
+    ProgressLogger,
+    energy_absorption_report,
+    plot_progress,
+    profile_trace,
+    slow_down_warning,
 )
 
 __all__ = [
     "load_checkpoint",
     "save_checkpoint",
     "load_torch_state_dict",
+    "load_torch_dlgm",
     "torch_state_dict_to_params",
+    "torch_dlgm_state_dict_to_params",
+    "ProgressLogger",
+    "energy_absorption_report",
+    "plot_progress",
+    "profile_trace",
+    "slow_down_warning",
 ]

@@ -1,0 +1,185 @@
+"""Engine feature tests: dynamic x-lr, early stop, loss_x/loss_inputs,
+input optimization, schedule variants, capture options."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import montecarlopredictivecoding_tpu as mcpc
+
+
+def _gen(key=0):
+    m = mcpc.PCModel([mcpc.Linear(2, 2), mcpc.PC(), mcpc.Linear(2, 3)])
+    return mcpc.GenerativeModel(m, key=key)
+
+
+def _kwargs(B=4, key=1):
+    data = jax.random.normal(jax.random.PRNGKey(key), (B, 3))
+    return jnp.zeros((B, 2)), {"_target": data, "_var": 1.0}
+
+
+def test_dynamic_x_lr_discounts_on_non_decrease():
+    gen = _gen()
+    inputs, lk = _kwargs()
+    tr = mcpc.PCTrainer(
+        gen, T=30, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.5},
+        x_lr_discount=0.5, update_p_at="never", optimizer_p_fn=None,
+    )
+    res = tr.train_on_batch(inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk)
+    lr_scales = np.asarray(res["x_lr_scale"])
+    # huge lr -> oscillation -> discounts fire -> final scale well below 1
+    assert lr_scales[-1] < 1.0
+    assert np.all(np.diff(lr_scales) <= 1e-9)  # no amplifier: non-increasing
+    # final overall lower than initial thanks to annealing
+    ov = np.asarray(res["overall"])
+    assert ov[-1] < ov[0]
+
+
+def test_dynamic_x_lr_amplifier():
+    gen = _gen()
+    inputs, lk = _kwargs()
+    tr = mcpc.PCTrainer(
+        gen, T=20, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 1e-4},
+        x_lr_amplifier=1.5, update_p_at="never", optimizer_p_fn=None,
+    )
+    res = tr.train_on_batch(inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk)
+    # tiny lr -> monotone decrease -> amplifier grows the scale
+    assert float(res["x_lr_scale"][-1]) > 1.0
+
+
+def test_early_stop_freezes_chain():
+    gen = _gen()
+    inputs, lk = _kwargs()
+
+    def stop_after_5(t, loss, energy, overall):
+        return t >= 5
+
+    tr = mcpc.PCTrainer(
+        gen, T=20, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.05},
+        update_p_at="never", optimizer_p_fn=None, early_stop_fn=stop_after_5,
+    )
+    res = tr.train_on_batch(inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk)
+    assert int(res["stop_t"]) == 5
+    ov = np.asarray(res["overall"])
+    # frozen after the stop step: all later overalls identical
+    assert np.allclose(ov[6:], ov[6])
+    assert not np.allclose(ov[4], ov[5])
+
+
+def test_early_stop_p_update_semantics():
+    """With update_p_at_early_stop=True the single weight update uses the
+    gradients accumulated up to the stop step."""
+    inputs, lk = _kwargs()
+
+    def no_stop(t, loss, energy, overall):
+        return jnp.asarray(False)
+
+    def stop_at_3(t, loss, energy, overall):
+        return t >= 3
+
+    results = {}
+    for name, stop_fn, T in (("stopped", stop_at_3, 10), ("short", no_stop, 4)):
+        gen = _gen(key=7)
+        tr = mcpc.PCTrainer(
+            gen, T=T, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.05},
+            update_p_at="last", optimizer_p_fn="sgd",
+            optimizer_p_kwargs={"lr": 0.1}, early_stop_fn=stop_fn,
+        )
+        tr.train_on_batch(inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk)
+        results[name] = gen.params
+    # chain stopped at t=3 (inclusive updates) == chain of exactly T=4 steps
+    for p1, p2 in zip(results["stopped"], results["short"]):
+        np.testing.assert_allclose(
+            np.asarray(p1["w"]), np.asarray(p2["w"]), atol=1e-6
+        )
+
+
+def test_loss_x_fn_penalizes_latents():
+    inputs, lk = _kwargs()
+    gen_plain = _gen(key=3)
+    gen_pen = _gen(key=3)
+    common = dict(
+        T=100, optimizer_x_fn="adam", optimizer_x_kwargs={"lr": 0.05},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    tr1 = mcpc.PCTrainer(gen_plain, **common)
+    tr2 = mcpc.PCTrainer(gen_pen, loss_x_fn=lambda x: 10.0 * jnp.abs(x), **common)
+    tr1.train_on_batch(inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk)
+    tr2.train_on_batch(inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk)
+    n_plain = float(jnp.abs(gen_plain.latents[0]).sum())
+    n_pen = float(jnp.abs(gen_pen.latents[0]).sum())
+    assert n_pen < n_plain  # sparsity penalty shrinks latents
+
+
+def test_optimize_inputs():
+    gen = _gen(key=4)
+    inputs, lk = _kwargs()
+    tr = mcpc.PCTrainer(
+        gen, T=50, optimizer_x_fn="adam", optimizer_x_kwargs={"lr": 0.05},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    res = tr.train_on_batch(
+        inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk, is_optimize_inputs=True
+    )
+    assert "optimized_inputs" in res
+    assert not np.allclose(np.asarray(res["optimized_inputs"]), 0.0)
+
+
+def test_update_x_at_last_half():
+    gen = _gen(key=5)
+    inputs, lk = _kwargs()
+    tr = mcpc.PCTrainer(
+        gen, T=10, update_x_at="last_half",
+        optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.1},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    res = tr.train_on_batch(inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk)
+    ov = np.asarray(res["overall"])
+    # first half: latents frozen -> overall constant; second half: decreasing
+    assert np.allclose(ov[:5], ov[0])
+    assert ov[-1] < ov[5]
+
+
+def test_capture_options_and_stride():
+    gen = _gen(key=6)
+    inputs, lk = _kwargs()
+    tr = mcpc.PCTrainer(
+        gen, T=12, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.05},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    res = tr.train_on_batch(
+        inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk,
+        is_return_outputs=True, is_return_xs=True,
+        is_return_representations=True, capture_stride=3,
+    )
+    assert res["outputs"].shape == (4, 4, 3)  # T/stride, B, D
+    assert res["representations"].shape == (4, 4, 2)
+    assert res["xs"][0].shape == (4, 4, 2)
+    # last-only mode
+    res2 = tr.train_on_batch(
+        inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk,
+        is_return_results_every_t=False,
+    )
+    assert res2["overall"].shape == (1,)
+
+
+def test_overall_elementwise():
+    gen = _gen(key=8)
+    B = 4
+    data = (jax.random.uniform(jax.random.PRNGKey(9), (B, 3)) > 0.5).astype(
+        jnp.float32
+    )
+    tr = mcpc.PCTrainer(
+        gen, T=5, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.05},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    res = tr.train_on_batch(
+        jnp.zeros((B, 2)), loss_fn=mcpc.bernoulli_fn,
+        loss_fn_kwargs={"_target": data}, is_return_batchelement_loss=True,
+    )
+    elem = np.asarray(res["overall_elementwise"])  # [T, B]
+    assert elem.shape == (5, B)
+    np.testing.assert_allclose(
+        elem.sum(axis=1), np.asarray(res["overall"]), rtol=1e-5
+    )

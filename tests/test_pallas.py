@@ -138,3 +138,47 @@ def test_packed_equals_unpacked(setup):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
     for pa, pb in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(pa["w"]), np.asarray(pb["w"]), atol=1e-4)
+
+
+def test_trainer_fast_path_matches_engine():
+    """PCTrainer with use_pallas=True (interpret mode on CPU, noise off) must
+    produce the same latents and weight update as the scan engine."""
+    model = mcpc.make_mlp_model(4, 8, 8, 16)
+    key = jax.random.PRNGKey(0)
+    B = 8
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+    mixing, sampling = 3, 5
+
+    outs = {}
+    for mode in ("engine", "pallas"):
+        gen = mcpc.GenerativeModel(model, key=1)
+        tr = mcpc.PCTrainer(
+            gen, T=mixing + sampling, update_x_at="all",
+            optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.02},
+            update_p_at="last",
+            accumulate_p_at=[mixing + i for i in range(sampling)],
+            optimizer_p_fn="adam", optimizer_p_kwargs={"lr": 0.01},
+        )
+        tr.use_pallas = mode == "pallas"
+        res = tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn, loss_fn_kwargs={"_target": target},
+            is_return_results_every_t=False,
+        )
+        outs[mode] = (gen.latents, gen.params, res)
+
+    for a, b in zip(outs["engine"][0], outs["pallas"][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for pa, pb in zip(outs["engine"][1], outs["pallas"][1]):
+        np.testing.assert_allclose(np.asarray(pa["w"]), np.asarray(pb["w"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(pa["b"]), np.asarray(pb["b"]), atol=2e-5)
+    # the fast path reports post-chain scalars (the engine reports the last
+    # pre-update forward); compare against the engine's *final state*
+    lat_e, par_e, _ = outs["engine"]
+    res = model.apply(par_e, lat_e, inputs)
+    overall_final = float(
+        mcpc.bernoulli_fn(res.output, target) + sum(res.energies)
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"][2]["overall"])[0], overall_final, rtol=1e-4
+    )
