@@ -40,6 +40,15 @@ _RAW_NAMES = {
 
 
 def _read_idx(path: str) -> np.ndarray:
+    if not path.endswith(".gz"):
+        # fast path: the native C++ reader (data/native_loader.py)
+        try:
+            from .native_loader import native_available, read_idx_native
+
+            if native_available():
+                return read_idx_native(path)
+        except Exception:
+            pass
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
         zero, dtype_code, ndim = struct.unpack(">HBB", f.read(4))
@@ -188,11 +197,21 @@ class Batches:
         idx = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(idx)
+        gather = None
+        if self.shuffle and self.images.dtype == np.float32:
+            try:
+                from .native_loader import gather_batch, native_available
+
+                if native_available():
+                    gather = gather_batch
+            except Exception:
+                gather = None
         for s in range(0, n, self.batch_size):
             sel = idx[s : s + self.batch_size]
             if self.drop_last and len(sel) < self.batch_size:
                 return
-            imgs = jnp.asarray(self.images[sel])
+            rows = gather(self.images, sel) if gather else self.images[sel]
+            imgs = jnp.asarray(rows)
             if self.labels is None:
                 yield imgs, None
             else:
