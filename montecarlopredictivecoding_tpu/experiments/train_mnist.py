@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
+import typing as tp
 
 import jax.numpy as jnp
 import numpy as np
@@ -81,15 +82,59 @@ def train_mcpc(
     snapshot_epochs=(),
     batches_per_epoch=None,
     log: bool = True,
+    fused: tp.Optional[bool] = None,
 ):
     """MCPC MNIST training: per batch, PC warm start (update_p never) then an
     MCPC chain with the Monte-Carlo-accumulated weight update — the canonical
-    pattern (reference utils/model.py:121-149 with training factories)."""
+    pattern (reference utils/model.py:121-149 with training factories).
+
+    On TPU (``fused=None`` -> auto) the whole per-batch pipeline — Adam MAP
+    warm start, Langevin chain, Hebbian gradient accumulation — runs as ONE
+    fused Pallas kernel dispatch (ops/pallas_mcpc.py ``warm_T`` phase).
+    """
+    import jax
+
     config = mcpc_training_config()
     train, _, _ = get_mnist_data(config, seed=seed)
     gen = get_model(config, key=seed)
-    pc_warm = get_pc_trainer(gen, config, is_mcpc=True, training=True)
-    mc = get_mcpc_trainer(gen, config, training=True)
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+
+    if fused:
+        import optax
+
+        from ..ops import mcpc_chain_pallas
+
+        opt_p = optax.adam(config["optimizer_p_kwargs_mcpc"]["lr"])
+        opt_p_state = opt_p.init(gen.params)
+        mixing, sampling = config["mixing"], config["sampling"]
+
+        @jax.jit
+        def apply_update(params, opt_state, pgrads, batch_size):
+            g = jax.tree_util.tree_map(
+                lambda x: x / (sampling * batch_size), pgrads
+            )
+            updates, opt_state = opt_p.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        def run_batch(data, key):
+            pseudo = jnp.zeros((data.shape[0], config["input_size"]))
+            latents = gen.model.init_latents(gen.params, pseudo, key)
+            seed_val = jax.random.randint(key, (), 0, 2**31 - 1)
+            _, pgrads = mcpc_chain_pallas(
+                gen.params, latents, data, seed_val,
+                T=mixing + sampling,
+                lr=config["optimizer_x_kwargs_mcpc"]["lr"],
+                noise_var=2.0, loss="bernoulli",
+                mixing=mixing, with_pgrads=True,
+                warm_T=config["T_pc"],
+                warm_lr=config["optimizer_x_kwargs_pc"]["lr"],
+                interpret=jax.default_backend() != "tpu",
+            )
+            return pgrads
+    else:
+        pc_warm = get_pc_trainer(gen, config, is_mcpc=True, training=True)
+        mc = get_mcpc_trainer(gen, config, training=True)
 
     def snap(tag):
         path = out + (f"_epoch{tag}" if tag is not None else "")
@@ -102,21 +147,29 @@ def train_mcpc(
         for i, (data, _) in enumerate(train):
             if batches_per_epoch is not None and i >= batches_per_epoch:
                 break
-            pseudo = jnp.zeros((data.shape[0], config["input_size"]))
-            pc_warm.train_on_batch(
-                pseudo,
-                loss_fn=config["loss_fn"],
-                loss_fn_kwargs={"_target": data},
-                is_return_results_every_t=False,
-            )
-            mc.train_on_batch(
-                pseudo,
-                loss_fn=config["loss_fn"],
-                loss_fn_kwargs={"_target": data},
-                callback_after_t=mcpc.LangevinStep(var=2.0),
-                is_sample_x_at_batch_start=False,
-                is_return_results_every_t=False,
-            )
+            if fused:
+                pgrads = run_batch(data, gen.next_key())
+                gen.params, opt_p_state = apply_update(
+                    gen.params, opt_p_state, pgrads, data.shape[0]
+                )
+            else:
+                pseudo = jnp.zeros((data.shape[0], config["input_size"]))
+                pc_warm.train_on_batch(
+                    pseudo,
+                    loss_fn=config["loss_fn"],
+                    loss_fn_kwargs={"_target": data},
+                    is_return_results_every_t=False,
+                )
+                mc.train_on_batch(
+                    pseudo,
+                    loss_fn=config["loss_fn"],
+                    loss_fn_kwargs={"_target": data},
+                    callback_after_t=mcpc.LangevinStep(var=2.0),
+                    is_sample_x_at_batch_start=False,
+                    is_return_results_every_t=False,
+                )
+        if fused:
+            jax.block_until_ready(gen.params)
         if log:
             print(f"epoch {epoch}: {time.time() - t0:.1f}s")
         if epoch in snapshot_epochs:

@@ -79,7 +79,8 @@ def _normals(shape):
 
 def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         loss: str, inv_var: float, with_pgrads: bool,
-                        dims: tuple, bf16_matmul: bool = True):
+                        dims: tuple, bf16_matmul: bool = True,
+                        warm: tp.Optional[tuple] = None):
     """Packed variant: one block-diagonal matmul per direction per step.
 
     All PC-site predictions depend only on the *current* latents, so the
@@ -119,8 +120,10 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 b = b.astype(jnp.bfloat16)
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
-        def step(t, _):
-            X = x_out[...]
+        def grads_and_V(X):
+            """Energy gradient w.r.t. the packed latents, plus the packed
+            backward vector V = [err1 | err2 | -s] and relu(X) (reused for
+            the Hebbian parameter grads)."""
             H = jnp.maximum(X, 0.0)
             MU = mm(H, wf[...]) + b_cat[...][None, :]  # [B, d1+d2+D]
 
@@ -136,28 +139,71 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             else:
                 s = jnp.zeros_like(logits)
 
-            # pack the backward vector V = [err1 | err2 | -s]; then
             # V @ wfᵀ = [err1@W1ᵀ | err2@W2ᵀ | -s@W3ᵀ]
             V = jnp.concatenate([err1, err2, -s], axis=1)
             back = mm(V, wf[...].T)  # [B, xw]
             err_cat = jnp.concatenate([err0, err1, err2], axis=1)
             G = err_cat - jnp.where(X > 0, 1.0, 0.0) * back
+            return G, V, H, err0
 
-            if with_pgrads:
-                @pl.when(t >= mixing)
-                def _():
-                    # Hᵀ @ [-err1 | -err2 | s]: diagonal blocks are the grads
-                    gw_full[...] += mm(H.T, -V)
-                    gb_cat[...] += jnp.sum(-V, axis=0)
-                    gb0[...] += jnp.sum(-err0, axis=0)
+        def body(m_ref, v_ref):
+            # -- optional Adam MAP warm start (the reference's PC phase:
+            # utils/model.py:121-131 runs T_pc Adam steps on the latents
+            # before the Langevin chain) -----------------------------------
+            if warm is not None:
+                warm_T, warm_lr, wb1, wb2, weps = warm
+                m_ref[...] = jnp.zeros_like(m_ref)
+                v_ref[...] = jnp.zeros_like(v_ref)
 
-            if noise_std > 0.0:
-                x_out[...] = X - lr * G + noise_std * _normals(X.shape)
-            else:
-                x_out[...] = X - lr * G
-            return ()
+                def warm_step(t, carry):
+                    # bias-correction powers carried incrementally — Mosaic
+                    # has no powf with a traced exponent
+                    b1p, b2p = carry
+                    X = x_out[...]
+                    G, _, _, _ = grads_and_V(X)
+                    m = wb1 * m_ref[...] + (1.0 - wb1) * G
+                    v = wb2 * v_ref[...] + (1.0 - wb2) * G * G
+                    m_ref[...] = m
+                    v_ref[...] = v
+                    mhat = m / (1.0 - b1p)
+                    vhat = v / (1.0 - b2p)
+                    x_out[...] = X - warm_lr * mhat / (jnp.sqrt(vhat) + weps)
+                    return (b1p * wb1, b2p * wb2)
 
-        jax.lax.fori_loop(0, T, step, ())
+                jax.lax.fori_loop(
+                    0, warm_T, warm_step,
+                    (jnp.float32(wb1), jnp.float32(wb2)),
+                )
+
+            # -- Langevin phase ---------------------------------------------
+            def step(t, _):
+                X = x_out[...]
+                G, V, H, err0 = grads_and_V(X)
+
+                if with_pgrads:
+                    @pl.when(t >= mixing)
+                    def _():
+                        # Hᵀ @ [-err1 | -err2 | s]: diagonal blocks = grads
+                        gw_full[...] += mm(H.T, -V)
+                        gb_cat[...] += jnp.sum(-V, axis=0)
+                        gb0[...] += jnp.sum(-err0, axis=0)
+
+                if noise_std > 0.0:
+                    x_out[...] = X - lr * G + noise_std * _normals(X.shape)
+                else:
+                    x_out[...] = X - lr * G
+                return ()
+
+            jax.lax.fori_loop(0, T, step, ())
+
+        if warm is not None:
+            pl.run_scoped(
+                body,
+                m_ref=pltpu.VMEM(x_in.shape, jnp.float32),
+                v_ref=pltpu.VMEM(x_in.shape, jnp.float32),
+            )
+        else:
+            body(None, None)
 
     return kernel
 
@@ -260,6 +306,7 @@ def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
     static_argnames=(
         "T", "mixing", "lr", "noise_var", "loss", "input_var",
         "with_pgrads", "interpret", "bf16_matmul", "packed",
+        "warm_T", "warm_lr", "warm_b1", "warm_b2", "warm_eps",
     ),
 )
 def mcpc_chain_pallas(
@@ -278,8 +325,14 @@ def mcpc_chain_pallas(
     interpret: bool = False,
     bf16_matmul: bool = False,
     packed: bool = True,
+    warm_T: int = 0,
+    warm_lr: float = 0.1,
+    warm_b1: float = 0.9,
+    warm_b2: float = 0.999,
+    warm_eps: float = 1e-8,
 ):
-    """Run T fused MCPC steps; returns (latents', pgrads or None).
+    """Run (optionally) warm_T Adam MAP steps then T fused MCPC steps;
+    returns (latents', pgrads or None).
 
     pgrads mirror the params structure (gw0 is zeros — the pseudo-input is
     zeros so the first weight never receives gradient, matching the engine).
@@ -289,6 +342,8 @@ def mcpc_chain_pallas(
     x0, x1, x2 = latents
     B = x0.shape[0]
     noise_std = float(np.sqrt(lr * noise_var)) if noise_var else 0.0
+    if warm_T and not packed:
+        raise ValueError("the Adam warm-start phase requires packed=True")
 
     if packed:
         d0, d1, d2 = x0.shape[1], x1.shape[1], x2.shape[1]
@@ -306,6 +361,9 @@ def mcpc_chain_pallas(
             T=T, mixing=mixing, lr=lr, noise_std=noise_std,
             loss=loss, inv_var=1.0 / input_var, with_pgrads=with_pgrads,
             dims=dims, bf16_matmul=bf16_matmul,
+            warm=(warm_T, warm_lr, warm_b1, warm_b2, warm_eps)
+            if warm_T > 0
+            else None,
         )
         out_shapes = [jax.ShapeDtypeStruct((B, xw), jnp.float32)]
         if with_pgrads:

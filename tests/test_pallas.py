@@ -182,3 +182,33 @@ def test_trainer_fast_path_matches_engine():
     np.testing.assert_allclose(
         np.asarray(outs["pallas"][2]["overall"])[0], overall_final, rtol=1e-4
     )
+
+
+def test_warm_start_phase_matches_adam_engine(setup):
+    """The in-kernel Adam MAP warm start must match the scan engine's Adam
+    trajectory (which itself matches torch, test_reference_parity)."""
+    model, params, latents, target = setup
+    warm_T, lr = 25, 0.05
+    cfg = EngineConfig(
+        plan=build_plan(warm_T, "all", "never"),
+        optimizer_x=OptimizerSpec("adam", lr=lr),
+        optimizer_p=None,
+        loss_fn=mcpc.bernoulli_fn,
+        capture_every_t=False,
+    )
+    fn = jax.jit(build_train_on_batch(model, cfg))
+    st = EngineState(
+        params=params, latents=latents,
+        opt_x_state=cfg.optimizer_x.make().init({"latents": latents}),
+        opt_p_state=None, lr_scale=jnp.ones(()), key=jax.random.PRNGKey(0),
+    )
+    ns, _ = fn(st, jnp.zeros((8, 4)), {"_target": target})
+
+    pal, _ = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(0),
+        T=1, lr=0.0, noise_var=None, loss="bernoulli",  # no-op Langevin step
+        packed=True, interpret=True,
+        warm_T=warm_T, warm_lr=lr,
+    )
+    for a, b in zip(ns.latents, pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
