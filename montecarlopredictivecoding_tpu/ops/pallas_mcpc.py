@@ -80,7 +80,8 @@ def _normals(shape):
 def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         loss: str, inv_var: float, with_pgrads: bool,
                         dims: tuple, bf16_matmul: bool = True,
-                        warm: tp.Optional[tuple] = None):
+                        warm: tp.Optional[tuple] = None,
+                        capture_stride: int = 0):
     """Packed variant: one block-diagonal matmul per direction per step.
 
     All PC-site predictions depend only on the *current* latents, so the
@@ -102,12 +103,20 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
         x_in,  # packed latents [B, xw]
         y,  # target [B, D]
         x_out,  # packed latents out
-        *rest,  # (gw_full [xw, ow], gb_cat [ow], gb0 [d0]) when with_pgrads
+        *rest,  # outputs: [gw_full, gb_cat, gb0] when with_pgrads, then
+                # [traj (HBM)] when capture_stride > 0; scratch: [dma_sem]
     ):
+        k = 0
+        if with_pgrads:
+            gw_full, gb_cat, gb0 = rest[0:3]
+            k = 3
+        if capture_stride > 0:
+            traj_ref = rest[k]       # HBM [n_cap, B, xw_pad]
+            cap_buf = rest[k + 1]    # VMEM staging [B, xw_pad] (128-aligned)
+            dma_sem = rest[k + 2]
         if noise_std > 0.0:  # seeding is TPU-only; skip on deterministic runs
             pltpu.prng_seed(seed_ref[0])
         if with_pgrads:
-            gw_full, gb_cat, gb0 = rest
             gw_full[...] = jnp.zeros_like(gw_full)
             gb_cat[...] = jnp.zeros_like(gb_cat)
             gb0[...] = jnp.zeros_like(gb0)
@@ -178,6 +187,22 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             # -- Langevin phase ---------------------------------------------
             def step(t, _):
                 X = x_out[...]
+
+                if capture_stride > 0:
+                    # record the pre-update latents every stride steps
+                    # (matches the engine's capture timing); staged through a
+                    # 128-aligned VMEM buffer — DMA slices must be
+                    # lane-aligned
+                    @pl.when(t % capture_stride == 0)
+                    def _():
+                        cap_buf[:, 0:xw] = X
+                        slot = t // capture_stride
+                        cp = pltpu.make_async_copy(
+                            cap_buf, traj_ref.at[slot], dma_sem
+                        )
+                        cp.start()
+                        cp.wait()
+
                 G, V, H, err0 = grads_and_V(X)
 
                 if with_pgrads:
@@ -307,6 +332,7 @@ def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
         "T", "mixing", "lr", "noise_var", "loss", "input_var",
         "with_pgrads", "interpret", "bf16_matmul", "packed",
         "warm_T", "warm_lr", "warm_b1", "warm_b2", "warm_eps",
+        "capture_stride",
     ),
 )
 def mcpc_chain_pallas(
@@ -330,9 +356,13 @@ def mcpc_chain_pallas(
     warm_b1: float = 0.9,
     warm_b2: float = 0.999,
     warm_eps: float = 1e-8,
+    capture_stride: int = 0,
 ):
     """Run (optionally) warm_T Adam MAP steps then T fused MCPC steps;
-    returns (latents', pgrads or None).
+    returns (latents', pgrads or None) — or, with ``capture_stride > 0``
+    (packed mode), (latents', pgrads or None, traj) where ``traj`` holds the
+    packed pre-update latents every stride Langevin steps,
+    shape [ceil(T/stride), B, d0+d1+d2] (DMA'd to HBM from inside the chain).
 
     pgrads mirror the params structure (gw0 is zeros — the pseudo-input is
     zeros so the first weight never receives gradient, matching the engine).
@@ -364,20 +394,34 @@ def mcpc_chain_pallas(
             warm=(warm_T, warm_lr, warm_b1, warm_b2, warm_eps)
             if warm_T > 0
             else None,
+            capture_stride=capture_stride,
         )
         out_shapes = [jax.ShapeDtypeStruct((B, xw), jnp.float32)]
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out_specs = [vmem]
         if with_pgrads:
             out_shapes += [
                 jax.ShapeDtypeStruct((xw, ow), jnp.float32),
                 jax.ShapeDtypeStruct((ow,), jnp.float32),
                 jax.ShapeDtypeStruct((d0,), jnp.float32),
             ]
-        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+            out_specs += [vmem] * 3
+        n_cap = -(-T // capture_stride) if capture_stride > 0 else 0
+        xw_pad = -(-xw // 128) * 128  # DMA slices must be lane-aligned
+        scratch = []
+        if capture_stride > 0:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((n_cap, B, xw_pad), jnp.float32)
+            )
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            scratch.append(pltpu.VMEM((B, xw_pad), jnp.float32))
+            scratch.append(pltpu.SemaphoreType.DMA(()))
         outs = pl.pallas_call(
             kernel,
             out_shape=out_shapes,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 5,
-            out_specs=[vmem] * len(out_shapes),
+            out_specs=out_specs,
+            scratch_shapes=scratch,
             interpret=interpret,
         )(
             jnp.asarray(seed, dtype=jnp.int32).reshape(1),
@@ -387,15 +431,17 @@ def mcpc_chain_pallas(
         )
         Xo = outs[0]
         new_latents = (Xo[:, 0:d0], Xo[:, d0 : d0 + d1], Xo[:, d0 + d1 :])
-        if not with_pgrads:
-            return new_latents, None
-        gw_full, gb_cat, gb0 = outs[1:]
-        pgrads = (
-            {"w": jnp.zeros_like(w0), "b": gb0},
-            {"w": gw_full[0:d0, 0:d1], "b": gb_cat[0:d1]},
-            {"w": gw_full[d0 : d0 + d1, d1 : d1 + d2], "b": gb_cat[d1 : d1 + d2]},
-            {"w": gw_full[d0 + d1 :, d1 + d2 :], "b": gb_cat[d1 + d2 :]},
-        )
+        pgrads = None
+        if with_pgrads:
+            gw_full, gb_cat, gb0 = outs[1:4]
+            pgrads = (
+                {"w": jnp.zeros_like(w0), "b": gb0},
+                {"w": gw_full[0:d0, 0:d1], "b": gb_cat[0:d1]},
+                {"w": gw_full[d0 : d0 + d1, d1 : d1 + d2], "b": gb_cat[d1 : d1 + d2]},
+                {"w": gw_full[d0 + d1 :, d1 + d2 :], "b": gb_cat[d1 + d2 :]},
+            )
+        if capture_stride > 0:
+            return new_latents, pgrads, outs[-1][:, :, :xw]
         return new_latents, pgrads
 
     kernel = _make_kernel(

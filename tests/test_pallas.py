@@ -212,3 +212,38 @@ def test_warm_start_phase_matches_adam_engine(setup):
     )
     for a, b in zip(ns.latents, pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_capture_stride_trajectory(setup):
+    """capture_stride records the pre-update packed latents every stride
+    steps — must match the engine's per-step capture timing."""
+    model, params, latents, target = setup
+    T, stride, lr = 12, 3, 0.02
+    pal, _, traj = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(0),
+        T=T, lr=lr, noise_var=None, loss="bernoulli",
+        packed=True, interpret=True, capture_stride=stride,
+    )
+    assert traj.shape == (4, 8, 4 + 8 + 8)
+    # slot 0 is the initial latents
+    np.testing.assert_allclose(
+        np.asarray(traj[0]),
+        np.asarray(jnp.concatenate(latents, axis=1)),
+        atol=1e-6,
+    )
+    # engine capture at matching steps
+    cfg = EngineConfig(
+        plan=build_plan(T, "all", "never"),
+        optimizer_x=OptimizerSpec("sgd", lr=lr),
+        optimizer_p=None, loss_fn=mcpc.bernoulli_fn,
+        capture_xs=True,
+    )
+    fn = jax.jit(build_train_on_batch(model, cfg))
+    st = EngineState(
+        params=params, latents=latents,
+        opt_x_state=cfg.optimizer_x.make().init({"latents": latents}),
+        opt_p_state=None, lr_scale=jnp.ones(()), key=jax.random.PRNGKey(0),
+    )
+    _, res = fn(st, jnp.zeros((8, 4)), {"_target": target})
+    eng = np.concatenate([np.asarray(x) for x in res["xs"]], axis=2)  # [T,B,xw]
+    np.testing.assert_allclose(np.asarray(traj), eng[::stride], atol=2e-5)
