@@ -18,6 +18,7 @@ expressed as the jittable :class:`LangevinStep` config (or the
 from __future__ import annotations
 
 import dataclasses
+import functools
 import typing as tp
 import warnings
 
@@ -40,6 +41,13 @@ class LangevinStep:
     unadjusted Langevin dynamics with stationary distribution ∝ exp(-E)."""
 
     var: float = 2.0
+
+
+@functools.lru_cache(maxsize=256)
+def _static_loss_partial(loss_fn, static_items: tuple):
+    """Stable-identity partial binding static kwargs into a loss fn, so the
+    jit cache keyed on the callable keeps hitting across calls."""
+    return functools.partial(loss_fn, **dict(static_items))
 
 
 class GenerativeModel:
@@ -339,6 +347,15 @@ class PCTrainer:
         ``loss`` / ``energy`` / ``overall`` arrays plus requested captures."""
         inputs = jnp.asarray(inputs)
         loss_fn_kwargs = dict(loss_fn_kwargs or {})
+        # kwargs that select static slices / reductions must be baked into the
+        # loss function, not traced (e.g. 'perc' of the masked losses,
+        # reference utils/model.py:24-33)
+        static_keys = tuple(
+            k for k in ("perc", "_reduction") if k in loss_fn_kwargs
+        )
+        if loss_fn is not None and static_keys:
+            static_part = tuple((k, loss_fn_kwargs.pop(k)) for k in static_keys)
+            loss_fn = _static_loss_partial(loss_fn, static_part)
         if isinstance(callback_after_t, LangevinStep):
             langevin_var = callback_after_t.var
         elif callback_after_t is not None:

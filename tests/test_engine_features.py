@@ -183,3 +183,31 @@ def test_overall_elementwise():
     np.testing.assert_allclose(
         elem.sum(axis=1), np.asarray(res["overall"]), rtol=1e-5
     )
+
+
+def test_masked_loss_with_explicit_perc():
+    """'perc' (and '_reduction') must be baked in statically, not traced —
+    regression for the masked-posterior experiments (figure_2.py:227-228)."""
+    gen = _gen(key=11)
+    B = 4
+    data = (jax.random.uniform(jax.random.PRNGKey(12), (B, 3)) > 0.5).astype(
+        jnp.float32
+    )
+    tr = mcpc.PCTrainer(
+        gen, T=5, optimizer_x_fn="adam", optimizer_x_kwargs={"lr": 0.1},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    res = tr.train_on_batch(
+        jnp.zeros((B, 2)),
+        loss_fn=mcpc.bernoulli_fn_mask,
+        loss_fn_kwargs={"_target": data, "_var": None, "perc": 0.5},
+    )
+    assert np.isfinite(np.asarray(res["overall"])).all()
+    # and the cached partial keeps the jit cache warm across calls
+    n_fns = len(tr._fns)
+    tr.train_on_batch(
+        jnp.zeros((B, 2)),
+        loss_fn=mcpc.bernoulli_fn_mask,
+        loss_fn_kwargs={"_target": data, "_var": None, "perc": 0.5},
+    )
+    assert len(tr._fns) == n_fns
