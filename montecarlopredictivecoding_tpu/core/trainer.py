@@ -189,6 +189,46 @@ class PCTrainer:
     def get_model_xs(self):
         return self.gen.latents
 
+    def get_model_xs_copy(self):
+        """Detached copies of all latents (reference pc_trainer.py:440-445)."""
+        return tuple(jnp.array(x) for x in self.gen.latents)
+
+    def get_model_representations(self, index: int = 0):
+        """The first PC layer's latent (reference pc_trainer.py:437-438)."""
+        return self.gen.latents[index]
+
+    def get_is_model_has_pc_layers(self) -> bool:
+        return self.gen.model.num_pc_layers > 0
+
+    def get_model_pc_layers(self):
+        """PC specs in stack order (reference pc_trainer.py:403-409)."""
+        return self.gen.model.pc_layers
+
+    def get_named_model_pc_layers(self):
+        """(module-index, PC spec) pairs (reference pc_trainer.py:411-415)."""
+        return tuple(
+            (f"modules[{i}]", self.gen.model.modules[i])
+            for i in self.gen.model.pc_indices
+        )
+
+    def get_energies(self, inputs=None, is_per_datapoint: bool = False):
+        """Per-layer energies at the current latents (reference
+        pc_trainer.py:331-366).  ``inputs`` defaults to the zeros
+        pseudo-input."""
+        if inputs is None:
+            first = self.gen.model.modules[self.gen.model.linear_indices[0]]
+            inputs = jnp.zeros((self.gen.latents[0].shape[0], first.in_dim))
+        res = self.gen.model.apply(self.gen.params, self.gen.latents, inputs)
+        return res.energies_per_datapoint if is_per_datapoint else res.energies
+
+    def get_weights_norms_list(self):
+        return [float(n) for n in self.get_weights_norms()]
+
+    def set_x_lr(self, lr: float):
+        """Set the effective x learning rate (reference pc_trainer.py:283-287)
+        by adjusting the dynamic scale relative to the configured base lr."""
+        self._lr_scale = jnp.asarray(lr / self.opt_x_spec.lr)
+
     def get_numparameters(self, exclude_first_linear: bool = False) -> int:
         return self.gen.model.num_parameters(self.gen.params, exclude_first_linear)
 

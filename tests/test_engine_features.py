@@ -211,3 +211,32 @@ def test_masked_loss_with_explicit_perc():
         loss_fn_kwargs={"_target": data, "_var": None, "perc": 0.5},
     )
     assert len(tr._fns) == n_fns
+
+
+def test_trainer_utility_surface():
+    """Reference PCTrainer getter parity (pc_trainer.py:312-461)."""
+    gen = _gen(key=13)
+    inputs, lk = _kwargs()
+    tr = mcpc.PCTrainer(
+        gen, T=5, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.1},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    tr.train_on_batch(inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk)
+
+    assert tr.get_is_model_has_pc_layers()
+    assert len(tr.get_model_pc_layers()) == 1
+    assert tr.get_named_model_pc_layers()[0][0] == "modules[1]"
+    assert tr.get_least_T() == 2
+    xs = tr.get_model_xs_copy()
+    assert xs[0].shape == (4, 2)
+    assert tr.get_model_representations().shape == (4, 2)
+    energies = tr.get_energies()
+    assert len(energies) == 1 and np.isfinite(float(energies[0]))
+    per_dp = tr.get_energies(is_per_datapoint=True)
+    assert per_dp[0].shape == (4, 1)
+    np.testing.assert_allclose(float(per_dp[0].sum()), float(energies[0]), rtol=1e-6)
+    assert tr.get_numparameters() > 0
+    assert tr.get_numparameters(exclude_first_linear=True) < tr.get_numparameters()
+    assert len(tr.get_weights_norms_list()) == 2
+    tr.set_x_lr(0.05)
+    assert abs(tr.get_x_lr() - 0.05) < 1e-6
