@@ -116,7 +116,21 @@ def _objective(cfg: EngineConfig, model: PCModel):
     def objective(xs_tree, params, ext_inputs, loss_kwargs):
         latents = xs_tree["latents"]
         inputs = xs_tree["inputs"] if cfg.optimize_inputs else ext_inputs
-        res = model.apply(params, latents, inputs)
+        # loss_kwargs entries prefixed "energy__" are forwarded into the
+        # per-layer energy_fns (reference energy_fn_additional_inputs,
+        # pc_layer.py:161-270)
+        extra = {
+            k[len("energy__"):]: v
+            for k, v in loss_kwargs.items()
+            if k.startswith("energy__")
+        }
+        loss_kwargs = {
+            k: v for k, v in loss_kwargs.items() if not k.startswith("energy__")
+        }
+        res = model.apply(
+            params, latents, inputs,
+            energy_fn_additional_inputs=extra or None,
+        )
         energy = functools.reduce(jnp.add, res.energies) if res.energies else jnp.zeros(())
         parts = []
         loss = None

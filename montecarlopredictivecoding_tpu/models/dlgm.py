@@ -109,11 +109,31 @@ def init_recognition(
 
 def recognition_forward(params, factors, x):
     mus, Rs = [], []
+    shared = params.get("body")  # shared-input-body variant (DLGM.py:141-166)
     for net, factor in zip(params["nets"], factors):
-        h = jax.nn.relu(_apply(net["fc1"], x))
+        h = jax.nn.relu(_apply(shared if shared is not None else net["fc1"], x))
         mus.append(_apply(net["mu"], h))
         Rs.append(factor.parameterize(_apply(net["cov"], h)))
     return mus, Rs
+
+
+def init_recognition_shared(
+    key,
+    input_dim: int,
+    latent_dim_list,
+    hidden_dim: int,
+    factor_cls=RankOneFactor,
+):
+    """Shared-body recognition (reference RecognitionModelsShared,
+    DLGM.py:141-166): one Linear body, per-level mu/cov heads."""
+    k_body, k_rest = jax.random.split(key)
+    params, factors = init_recognition(
+        k_rest, input_dim, latent_dim_list, hidden_dim, factor_cls
+    )
+    for net in params["nets"]:
+        del net["fc1"]
+    params["body"] = _linear_init(k_body, input_dim, hidden_dim)
+    return params, factors
 
 
 def recognition_sample(key, mus, Rs):

@@ -143,3 +143,19 @@ def test_importance_nll_analytic_independent_model():
     p1 = 1 / (1 + np.exp(-np.asarray(logits_b)))
     expected = -float(np.sum(np.log(np.where(np.asarray(x[0]) > 0.5, p1, 1 - p1))))
     assert abs(nll - expected) < 1e-3
+
+
+def test_shared_body_recognition(key):
+    from montecarlopredictivecoding_tpu.models.dlgm import (
+        init_recognition_shared,
+        recognition_forward,
+        recognition_sample,
+    )
+
+    params, factors = init_recognition_shared(key, 16, [3, 5], hidden_dim=8)
+    x = jax.random.normal(key, (4, 16))
+    mus, Rs = recognition_forward(params, factors, x)
+    assert mus[0].shape == (4, 3) and mus[1].shape == (4, 5)
+    assert Rs[0].shape == (4, 3, 3)
+    z = recognition_sample(key, mus, Rs)
+    assert z[0].shape == (4, 3)

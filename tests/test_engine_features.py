@@ -240,3 +240,35 @@ def test_trainer_utility_surface():
     assert len(tr.get_weights_norms_list()) == 2
     tr.set_x_lr(0.05)
     assert abs(tr.get_x_lr() - 0.05) < 1e-6
+
+
+def test_energy_fn_additional_inputs():
+    """energy__ kwargs reach the per-layer energy_fn (reference
+    energy_fn_additional_inputs, pc_layer.py:161-270)."""
+
+    def scaled_energy(inputs):
+        return inputs["beta"] * 0.5 * (inputs["mu"] - inputs["x"]) ** 2
+
+    m = mcpc.PCModel(
+        [mcpc.Linear(2, 2), mcpc.PC(energy_fn=scaled_energy), mcpc.Linear(2, 3)]
+    )
+    gen = mcpc.GenerativeModel(m, key=14)
+    inputs, lk = _kwargs()
+    tr = mcpc.PCTrainer(
+        gen, T=3, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.05},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    res2 = tr.train_on_batch(
+        inputs, loss_fn=mcpc.fe_fn,
+        loss_fn_kwargs={**lk, "energy__beta": 2.0},
+    )
+    gen.latents = None  # resample identically
+    res1 = tr.train_on_batch(
+        inputs, loss_fn=mcpc.fe_fn,
+        loss_fn_kwargs={**lk, "energy__beta": 1.0},
+        key=jax.random.PRNGKey(0),
+    )
+    # doubling beta doubles the layer energy at t=0 (same initial latents: mu)
+    e2 = float(np.asarray(res2["energy"])[0])
+    e1 = float(np.asarray(res1["energy"])[0])
+    assert abs(e2 - 2 * e1) < 1e-4 or (e1 == 0 and e2 == 0)
