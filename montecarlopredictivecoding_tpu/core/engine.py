@@ -353,8 +353,11 @@ def _run_segment(
                 return c, y
 
             carry, ys_chunk = jax.lax.scan(inner, carry, xt_chunk)
-            ys_last = jax.tree_util.tree_map(lambda a: a[-1], ys_chunk)
-            return carry, ys_last
+            # emit the FIRST inner step of each chunk: thinned capture equals
+            # full_capture[::stride] (the reference's slicing convention,
+            # utils/model.py:158) and the kernel's t % stride == 0 timing
+            ys_first = jax.tree_util.tree_map(lambda a: a[0], ys_chunk)
+            return carry, ys_first
 
         return jax.lax.scan(outer, carry, xs_r)
 

@@ -183,6 +183,11 @@ class PCTrainer:
         # 'auto': use the fused Pallas chain kernel on TPU when the config
         # maps onto it (see _pallas_eligible); True/False force/disable.
         self.use_pallas: tp.Union[str, bool] = "auto"
+        # opt-in: let the kernel serve capture requests (xs/representations)
+        # via its HBM trajectory DMA. Per-step loss/energy scalars are then
+        # final-state only (shape [1]) — callers that consume trajectories,
+        # not scalar traces, set this for full kernel speed.
+        self.use_pallas_capture: bool = False
 
     # -- reference utility surface (pc_trainer.py:312-461) ---------------------
 
@@ -271,10 +276,12 @@ class PCTrainer:
             return None
         if cfg.loss_x_fn is not None or cfg.loss_inputs_fn is not None or is_optimize_inputs:
             return None
-        if (
-            cfg.capture_outputs or cfg.capture_representations or cfg.capture_xs
-            or cfg.capture_overall_elementwise or cfg.capture_every_t
-        ):
+        wants_traj = cfg.capture_representations or cfg.capture_xs
+        if cfg.capture_outputs or cfg.capture_overall_elementwise:
+            return None
+        if wants_traj and not self.use_pallas_capture:
+            return None
+        if cfg.capture_every_t and not (wants_traj and self.use_pallas_capture):
             return None
         plan = cfg.plan
         if plan.update_x_at != tuple(range(plan.T)):
@@ -288,8 +295,15 @@ class PCTrainer:
             loss_name = "none"
         if loss_name is None:
             return None
+        cap = {}
+        if wants_traj:
+            cap = {
+                "capture_stride": max(int(cfg.capture_stride), 1),
+                "capture_xs": cfg.capture_xs,
+                "capture_representations": cfg.capture_representations,
+            }
         if not plan.update_p_at:
-            return {"loss": loss_name, "with_pgrads": False, "mixing": 0}
+            return {"loss": loss_name, "with_pgrads": False, "mixing": 0, **cap}
         if plan.update_p_at != (plan.T - 1,):
             return None
         if plan.accumulate_p_at:
@@ -299,7 +313,7 @@ class PCTrainer:
             mixing = acc[0]
         else:
             mixing = plan.T - 1
-        return {"loss": loss_name, "with_pgrads": True, "mixing": mixing}
+        return {"loss": loss_name, "with_pgrads": True, "mixing": mixing, **cap}
 
     def _run_pallas(self, dispatch, cfg, inputs, loss_fn_kwargs, langevin_var, key):
         from ..ops import mcpc_chain_pallas
@@ -308,7 +322,8 @@ class PCTrainer:
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         target = loss_fn_kwargs.get("_target")
         input_var = loss_fn_kwargs.get("_var") or 1.0
-        new_latents, pgrads = mcpc_chain_pallas(
+        stride = dispatch.get("capture_stride", 0)
+        outs = mcpc_chain_pallas(
             gen.params,
             gen.latents,
             target,
@@ -320,9 +335,15 @@ class PCTrainer:
             input_var=float(input_var),
             mixing=dispatch["mixing"],
             with_pgrads=dispatch["with_pgrads"],
+            capture_stride=stride,
             # off-TPU (use_pallas=True forced, e.g. in tests) run interpreted
             interpret=jax.default_backend() != "tpu",
         )
+        if stride:
+            new_latents, pgrads, traj = outs
+        else:
+            new_latents, pgrads = outs
+            traj = None
         gen.latents = new_latents
         if dispatch["with_pgrads"] and self.opt_p_spec is not None:
             import optax
@@ -345,13 +366,26 @@ class PCTrainer:
             if cfg.loss_fn is not None
             else jnp.zeros(())
         )
-        return {
+        results = {
             "loss": jnp.reshape(loss, (1,)),
             "energy": jnp.reshape(energy, (1,)),
             "overall": jnp.reshape(loss + cfg.energy_coefficient * energy, (1,)),
             "x_lr_scale": jnp.ones((1,)),
             "stop_t": jnp.full((), -1, dtype=jnp.int32),
         }
+        if traj is not None:
+            dims = [
+                gen.model.modules[i].out_dim
+                for i in gen.model.linear_indices[:-1]
+            ]
+            if dispatch.get("capture_xs"):
+                offs = [0, dims[0], dims[0] + dims[1], sum(dims)]
+                results["xs"] = tuple(
+                    traj[:, :, offs[i] : offs[i + 1]] for i in range(3)
+                )
+            if dispatch.get("capture_representations"):
+                results["representations"] = traj[:, :, : dims[cfg.rep_index]]
+        return results
 
     # -- core entry point -------------------------------------------------------
 

@@ -247,3 +247,35 @@ def test_capture_stride_trajectory(setup):
     _, res = fn(st, jnp.zeros((8, 4)), {"_target": target})
     eng = np.concatenate([np.asarray(x) for x in res["xs"]], axis=2)  # [T,B,xw]
     np.testing.assert_allclose(np.asarray(traj), eng[::stride], atol=2e-5)
+
+
+def test_trainer_capture_fast_path():
+    """use_pallas_capture serves xs/representations from the kernel's HBM
+    trajectory (noise off on CPU) matching the engine's captures."""
+    model = mcpc.make_mlp_model(4, 8, 8, 16)
+    key = jax.random.PRNGKey(0)
+    B = 8
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+
+    outs = {}
+    for mode in ("engine", "pallas"):
+        gen = mcpc.GenerativeModel(model, key=2)
+        tr = mcpc.PCTrainer(
+            gen, T=12, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.02},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        tr.use_pallas = mode == "pallas"
+        tr.use_pallas_capture = mode == "pallas"
+        res = tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn, loss_fn_kwargs={"_target": target},
+            is_return_xs=True, is_return_representations=True, capture_stride=3,
+        )
+        outs[mode] = res
+    for a, b in zip(outs["engine"]["xs"], outs["pallas"]["xs"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(outs["engine"]["representations"]),
+        np.asarray(outs["pallas"]["representations"]),
+        atol=2e-5,
+    )
