@@ -130,6 +130,8 @@ def get_representations(
     if rep_type not in ("full", "expectation") or len(trainers) != 2:
         raise NotImplementedError(rep_type)
     pc_trainer, mcpc_trainer = trainers
+    # trajectory consumers can take the kernel fast path on TPU
+    mcpc_trainer.use_pallas_capture = True
 
     mixing, sampling = config["mixing"], config["sampling"]
     stride = 1

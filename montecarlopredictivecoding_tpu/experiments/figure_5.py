@@ -51,6 +51,7 @@ def _sample_latent_chain(ctx, gen, config, target, neuron_idx, stride):
     (reference figure_5.py:103-137)."""
     pc_trainer = get_pc_trainer(gen, config, is_mcpc=True, training=False)
     mcpc_trainer = get_mcpc_trainer(gen, config, training=False)
+    mcpc_trainer.use_pallas_capture = True  # kernel-speed trajectories on TPU
     batch = config["batch_size_test"]
     pseudo = jnp.zeros((batch, config["input_size"]))
     if target is None:
