@@ -32,6 +32,22 @@ from ..models.factory import get_mcpc_trainer, get_model, get_pc_trainer
 from ..utils.checkpoint import save_checkpoint
 
 
+def apply_preset(config: dict, preset: str, model: str) -> dict:
+    """Per-metric architecture presets matching the reference checkpoints
+    (table_1.py / figure_4.py configs): 'fid'/'ml' use the standard
+    20-128-128-784 stack; 'mse' uses the reconstruction architectures
+    (MCPC 10-256-256-784 relu, PC 30-256-256-784 tanh)."""
+    if preset == "mse":
+        if model == "mcpc":
+            config.update(input_size=10, hidden_size=256, hidden2_size=256)
+        elif model == "pc":
+            config.update(
+                input_size=30, hidden_size=256, hidden2_size=256,
+                activation_fn="tanh",
+            )
+    return config
+
+
 def mcpc_training_config() -> dict:
     return {
         "batch_size_train": 256,
@@ -83,6 +99,7 @@ def train_mcpc(
     batches_per_epoch=None,
     log: bool = True,
     fused: tp.Optional[bool] = None,
+    preset: str = "fid",
 ):
     """MCPC MNIST training: per batch, PC warm start (update_p never) then an
     MCPC chain with the Monte-Carlo-accumulated weight update — the canonical
@@ -94,7 +111,7 @@ def train_mcpc(
     """
     import jax
 
-    config = mcpc_training_config()
+    config = apply_preset(mcpc_training_config(), preset, "mcpc")
     train, _, _ = get_mnist_data(config, seed=seed)
     gen = get_model(config, key=seed)
     if fused is None:
@@ -179,9 +196,10 @@ def train_mcpc(
     return gen
 
 
-def train_pc(epochs: int, out: str, seed: int = 0, batches_per_epoch=None, log=True):
+def train_pc(epochs: int, out: str, seed: int = 0, batches_per_epoch=None, log=True,
+             preset: str = "fid"):
     """PC MNIST training: T_pc MAP steps then one weight update per batch."""
-    config = pc_training_config()
+    config = apply_preset(pc_training_config(), preset, "pc")
     train, _, _ = get_mnist_data(config, seed=seed)
     gen = get_model(config, key=seed)
     trainer = get_pc_trainer(gen, config, is_mcpc=False, training=True)
@@ -254,6 +272,8 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batches-per-epoch", type=int, default=None)
     p.add_argument("--snapshot-epochs", type=int, nargs="*", default=[])
+    p.add_argument("--preset", choices=["fid", "ml", "mse"], default="fid",
+                   help="architecture preset matching the reference checkpoint families")
     args = p.parse_args()
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
 
@@ -264,9 +284,11 @@ def main():
             seed=args.seed,
             snapshot_epochs=tuple(args.snapshot_epochs),
             batches_per_epoch=args.batches_per_epoch,
+            preset=args.preset,
         )
     elif args.model == "pc":
-        train_pc(args.epochs, args.out, seed=args.seed, batches_per_epoch=args.batches_per_epoch)
+        train_pc(args.epochs, args.out, seed=args.seed,
+                 batches_per_epoch=args.batches_per_epoch, preset=args.preset)
     elif args.model == "dlgm":
         train_dlgm(args.epochs, args.out, seed=args.seed)
     else:
