@@ -158,3 +158,51 @@ def test_linear_classifier_probe():
     )
     acc = classifier_accuracy(clf, reps.astype(np.float32), labels)
     assert acc > 0.9
+
+
+def test_get_representations_modes():
+    from montecarlopredictivecoding_tpu.eval.classifier import get_representations
+    from montecarlopredictivecoding_tpu.models.factory import (
+        get_mcpc_trainer,
+        get_pc_trainer,
+    )
+
+    m = mcpc.make_mlp_model(4, 8, 8, 16)
+    gen = mcpc.GenerativeModel(m, key=0)
+    config = {
+        "input_size": 4,
+        "input_var": None,
+        "loss_fn": mcpc.bernoulli_fn,
+        "T_pc": 5,
+        "optimizer_x_fn_pc": "adam",
+        "optimizer_x_kwargs_pc": {"lr": 0.1},
+        "mixing": 4,
+        "sampling": 8,
+        "optimizer_x_kwargs_mcpc": {"lr": 0.01},
+    }
+    B = 6
+    data = (jax.random.uniform(jax.random.PRNGKey(0), (B, 16)) > 0.5).astype(
+        jnp.float32
+    )
+    labels = jnp.arange(B)
+    batches = [(data, labels)]
+    pc_tr = get_pc_trainer(gen, config, is_mcpc=True, training=False)
+    mc_tr = get_mcpc_trainer(gen, config, training=False)
+
+    reps, labs = get_representations(gen, config, [pc_tr], batches, rep_type="MAP")
+    assert reps.shape == (B, 4) and labs.shape == (B,)
+
+    reps_e, labs_e = get_representations(
+        gen, config, [pc_tr, mc_tr], batches, rep_type="expectation"
+    )
+    assert reps_e.shape == (B, 4) and np.array_equal(labs_e, np.asarray(labels))
+
+    n = 4
+    reps_f, labs_f = get_representations(
+        gen, config, [pc_tr, mc_tr], batches, rep_type="full", n=n
+    )
+    # stride = sampling/n = 2; captured T/stride = 6 slots; post-burn-in
+    # slots = 6 - mixing/stride = 4 -> 4*B rows
+    assert reps_f.shape == (4 * B, 4)
+    assert labs_f.shape == (4 * B,)
+    assert np.array_equal(labs_f[:B], np.asarray(labels))
