@@ -176,10 +176,17 @@ def _run_segment(
     carry: dict,
     ext_inputs,
     loss_kwargs,
+    opt_p: tp.Optional[optax.GradientTransformation] = None,
+    batch_size: tp.Optional[int] = None,
 ):
-    """Run one contiguous scan segment; returns (carry, ys)."""
+    """Run one contiguous scan segment; returns (carry, ys).
+
+    For dense schedules (``seg.p_update_every_step``) the parameters and the
+    parameter-optimizer state live in the carry and step every iteration
+    (grads divided by the batch size, reference pc_trainer.py:904-913)."""
     objective = _objective(cfg, model)
-    grad_argnums = (0, 1) if seg.with_p_grads else (0,)
+    dense_p = seg.p_update_every_step and opt_p is not None
+    grad_argnums = (0, 1) if (seg.with_p_grads or dense_p) else (0,)
     vgrad = jax.value_and_grad(objective, argnums=grad_argnums, has_aux=True)
 
     noise_std = (
@@ -194,14 +201,15 @@ def _run_segment(
         xs_tree = carry["xs_tree"]
         key = carry["key"]
         key, k_noise = jax.random.split(key)
+        step_params = carry["params"] if dense_p else params
 
-        if seg.with_p_grads:
+        if seg.with_p_grads or dense_p:
             (overall, aux), (g_x, g_p) = vgrad(
-                xs_tree, params, ext_inputs, loss_kwargs
+                xs_tree, step_params, ext_inputs, loss_kwargs
             )
         else:
             (overall, aux), (g_x,) = vgrad(
-                xs_tree, params, ext_inputs, loss_kwargs
+                xs_tree, step_params, ext_inputs, loss_kwargs
             )
             g_p = None
 
@@ -227,8 +235,10 @@ def _run_segment(
         do_any_x = seg.update_x_mask is None or any(seg.update_x_mask)
         if do_any_x:
             updates, new_sx = opt_x.update(g_x, carry["opt_x_state"], xs_tree)
-            if cfg.dynamic_x_lr:
-                updates = tree_scale(updates, carry["lr_scale"])
+            # lr_scale applies always (not just under dynamic annealing) so
+            # PCTrainer.set_x_lr takes effect like the reference's
+            # param_groups['lr'] mutation (pc_trainer.py:283-287)
+            updates = tree_scale(updates, carry["lr_scale"])
             if seg.update_x_mask is None and cfg.early_stop_fn is None:
                 # hot path: every step updates, no masking needed
                 xs_new = optax.apply_updates(xs_tree, updates)
@@ -267,6 +277,16 @@ def _run_segment(
                 noise = tree_scale(noise, active.astype(latents[0].dtype))
             xs_tree = dict(xs_tree, latents=tree_add(latents, noise))
 
+        # -- dense in-scan parameter update -------------------------------------
+        if dense_p:
+            g_scaled = tree_scale(g_p, 1.0 / batch_size)
+            p_updates, new_sp = opt_p.update(
+                g_scaled, carry["opt_p_state"], step_params
+            )
+            new_params = optax.apply_updates(step_params, p_updates)
+        else:
+            new_params = None
+
         # -- parameter-grad accumulation ---------------------------------------
         pgrad = carry.get("pgrad")
         if seg.with_p_grads and pgrad is not None:
@@ -295,6 +315,9 @@ def _run_segment(
             "prev_overall": overall,
             "key": key,
         }
+        if dense_p:
+            new_carry["params"] = new_params
+            new_carry["opt_p_state"] = new_sp
         if pgrad is not None:
             new_carry["pgrad"] = pgrad
         if cfg.early_stop_fn is not None:
@@ -339,12 +362,20 @@ def _run_segment(
         )
 
     stride = cfg.capture_stride
-    if stride > 1 and seg.length % stride == 0 and seg.length >= stride:
+    if stride > 1 and seg.length >= stride:
         # Thinned capture: outer scan over length//stride chunks, inner scan
-        # over stride steps; only the last inner step's ys are emitted.
+        # over stride steps, emitting the FIRST inner step of each chunk so
+        # the thinned capture equals full_capture[::stride] (the reference's
+        # slicing convention, utils/model.py:158, and the kernel's
+        # t % stride == 0 timing).  A non-divisible remainder is run as a
+        # plain scan whose first step is the final capture point.
         n_outer = seg.length // stride
-        xs_r = jax.tree_util.tree_map(
-            lambda a: a.reshape((n_outer, stride) + a.shape[1:]), xs
+        rem = seg.length - n_outer * stride
+        xs_main = jax.tree_util.tree_map(
+            lambda a: a[: n_outer * stride].reshape(
+                (n_outer, stride) + a.shape[1:]
+            ),
+            xs,
         )
 
         def outer(carry, xt_chunk):
@@ -353,13 +384,19 @@ def _run_segment(
                 return c, y
 
             carry, ys_chunk = jax.lax.scan(inner, carry, xt_chunk)
-            # emit the FIRST inner step of each chunk: thinned capture equals
-            # full_capture[::stride] (the reference's slicing convention,
-            # utils/model.py:158) and the kernel's t % stride == 0 timing
             ys_first = jax.tree_util.tree_map(lambda a: a[0], ys_chunk)
             return carry, ys_first
 
-        return jax.lax.scan(outer, carry, xs_r)
+        carry, ys = jax.lax.scan(outer, carry, xs_main)
+        if rem:
+            xs_rem = jax.tree_util.tree_map(
+                lambda a: a[n_outer * stride :], xs
+            )
+            carry, ys_rem = jax.lax.scan(step, carry, xs_rem)
+            ys = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b[:1]], axis=0), ys, ys_rem
+            )
+        return carry, ys
 
     return jax.lax.scan(step, carry, xs)
 
@@ -400,9 +437,19 @@ def build_train_on_batch(model: PCModel, cfg: EngineConfig):
 
         ys_all = []
         for seg in cfg.plan.segments:
-            carry, ys = _run_segment(
-                cfg, model, seg, opt_x, params, carry, inputs, loss_kwargs
-            )
+            if seg.p_update_every_step and opt_p is not None:
+                carry["params"] = params
+                carry["opt_p_state"] = opt_p_state
+                carry, ys = _run_segment(
+                    cfg, model, seg, opt_x, params, carry, inputs,
+                    loss_kwargs, opt_p=opt_p, batch_size=batch_size,
+                )
+                params = carry.pop("params")
+                opt_p_state = carry.pop("opt_p_state")
+            else:
+                carry, ys = _run_segment(
+                    cfg, model, seg, opt_x, params, carry, inputs, loss_kwargs
+                )
             ys_all.append(ys)
 
             if seg.p_update_at_end and opt_p is not None:

@@ -54,6 +54,10 @@ class Segment:
     update_x_mask: tp.Optional[tp.Tuple[bool, ...]]
     p_zero_mask: tp.Optional[tp.Tuple[bool, ...]]
     p_update_at_end: bool
+    # dense schedule (update_p_at='all' without accumulation): the parameter
+    # optimizer steps inside the scan each step instead of splitting the run
+    # into T single-step segments
+    p_update_every_step: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +91,26 @@ def build_plan(
     ux = parse_schedule(update_x_at, T)
     up = parse_schedule(update_p_at, T)
     acc = parse_schedule(accumulate_p_at, T)
+
+    # dense p-updates compile to ONE scan with an in-loop optimizer step —
+    # the reference default (update_p_at='all', pc_trainer.py:43) would
+    # otherwise become T single-step segments
+    if up == tuple(range(T)) and not acc and not force_p_grads:
+        ux_set_ = set(ux)
+        xm = tuple(t in ux_set_ for t in range(T))
+        x_mask = None if all(xm) else (xm if any(xm) else tuple([False] * T))
+        # with_p_grads stays False: the dense path computes parameter grads
+        # through its own argnums and never touches the pgrad accumulator
+        seg = Segment(
+            start=0, length=T, with_p_grads=False,
+            update_x_mask=x_mask, p_zero_mask=None,
+            p_update_at_end=False, p_update_every_step=True,
+        )
+        return SchedulePlan(
+            T=T, update_x_at=ux, update_p_at=up, accumulate_p_at=acc,
+            p_zero_steps=tuple(up), p_grad_needed=tuple([True] * T),
+            segments=(seg,), p_divisor_steps=1,
+        )
 
     zero_steps = sorted(
         set(u for u in up if u not in acc) | ({acc[0]} if acc else set())
@@ -137,6 +161,16 @@ def build_plan(
                 p_zero_mask=z_mask,
                 p_update_at_end=(e - 1) in up_set,
             )
+        )
+
+    if len(segments) > 64:
+        import warnings
+
+        warnings.warn(
+            f"schedule produces {len(segments)} scan segments — compile time "
+            "will suffer. Sparse mid-run update_p_at lists fragment the scan; "
+            "prefer 'all', 'last', or an accumulation window.",
+            RuntimeWarning,
         )
 
     return SchedulePlan(

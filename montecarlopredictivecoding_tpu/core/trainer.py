@@ -272,6 +272,10 @@ class PCTrainer:
             return None
         if self.opt_x_spec.name != "sgd" or self.opt_x_spec.momentum:
             return None
+        if cfg.energy_coefficient != 1.0:
+            return None  # the kernel hardcodes overall = loss + 1.0 * energy
+        if float(self._lr_scale) != 1.0:
+            return None  # set_x_lr / annealed scale isn't kernel-representable
         if cfg.dynamic_x_lr or cfg.early_stop_fn is not None:
             return None
         if cfg.loss_x_fn is not None or cfg.loss_inputs_fn is not None or is_optimize_inputs:
@@ -489,6 +493,10 @@ class PCTrainer:
             capture_stride=int(capture_stride),
         )
         dispatch = self._pallas_eligible(cfg, loss_fn, is_optimize_inputs)
+        if dispatch is not None and any(
+            k.startswith("energy__") for k in loss_fn_kwargs
+        ):
+            dispatch = None  # extra energy inputs aren't kernel-representable
         if dispatch is not None:
             return self._run_pallas(
                 dispatch, cfg, inputs, loss_fn_kwargs, langevin_var,
@@ -523,8 +531,12 @@ class PCTrainer:
         self._lr_scale = new_state.lr_scale
 
         if not is_return_results_every_t:
-            results = {
-                k: (v[-1:] if (hasattr(v, "ndim") and v.ndim >= 1) else v)
-                for k, v in results.items()
-            }
+            def last_only(v):
+                if isinstance(v, tuple):
+                    return tuple(last_only(x) for x in v)
+                if hasattr(v, "ndim") and v.ndim >= 1:
+                    return v[-1:]
+                return v
+
+            results = {k: last_only(v) for k, v in results.items()}
         return results

@@ -13,6 +13,7 @@ import argparse
 import dataclasses
 import os
 import typing as tp
+import zlib
 
 import jax
 import numpy as np
@@ -76,7 +77,7 @@ def load_generative_checkpoint(ctx: ExperimentContext, name: str, config: dict):
     from ..models.factory import get_model
     from ..utils.checkpoint import load_checkpoint, load_torch_state_dict
 
-    gen = get_model(config, key=ctx.key(hash(name) % 1000))
+    gen = get_model(config, key=ctx.key(zlib.crc32(name.encode()) % 1000))
     native = os.path.join(ctx.path_models, name + ".msgpack")
     if os.path.isfile(native):
         gen.params = load_checkpoint(native, gen.params)

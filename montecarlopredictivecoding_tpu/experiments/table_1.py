@@ -6,6 +6,7 @@ FID / masked-reconstruction MSE / marginal likelihood over 3 seeds x
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -43,7 +44,7 @@ def _config_pc(ctx, input_size=20, hidden=128, activation="relu"):
 
 
 def _load_dlgm(ctx, name):
-    dlgm = DLGM(784, 256, 20, factor_recog=1, key=ctx.key(hash(name) % 997))
+    dlgm = DLGM(784, 256, 20, factor_recog=1, key=ctx.key(zlib.crc32(name.encode()) % 997))
     path = os.path.join(ctx.path_models, name + ".msgpack")
     if os.path.isfile(path):
         dlgm.gen_params, dlgm.rec_params = load_checkpoint(

@@ -48,15 +48,25 @@ from ..core.modules import PC, Activation, Linear
 
 
 def supports_model(model: PCModel, activation: str = "relu") -> bool:
-    """The kernel covers the canonical 4-Linear ReLU MLP with 3 PC sites."""
+    """The kernel covers the canonical 4-Linear ReLU MLP with 3 PC sites
+    using the default Gaussian energy and no S/M masks."""
+    from ..core.modules import gaussian_energy
+
     kinds = [type(m).__name__ for m in model.modules]
     if kinds != [
         "Linear", "PC", "Activation", "Linear", "PC", "Activation",
         "Linear", "PC", "Activation", "Linear",
     ]:
         return False
-    return all(
+    if not all(
         m.name == activation for m in model.modules if isinstance(m, Activation)
+    ):
+        return False
+    # the kernel's closed-form gradients assume 0.5*(mu-x)^2 everywhere
+    return all(
+        m.energy_fn is gaussian_energy and m.S is None and m.M is None
+        for m in model.modules
+        if isinstance(m, PC)
     )
 
 

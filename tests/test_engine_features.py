@@ -272,3 +272,27 @@ def test_energy_fn_additional_inputs():
     e2 = float(np.asarray(res2["energy"])[0])
     e1 = float(np.asarray(res1["energy"])[0])
     assert abs(e2 - 2 * e1) < 1e-4 or (e1 == 0 and e2 == 0)
+
+
+def test_capture_stride_with_remainder():
+    """T not divisible by the stride still captures at t % stride == 0
+    (including the final partial chunk's leading step)."""
+    gen = _gen(key=15)
+    inputs, lk = _kwargs()
+    tr = mcpc.PCTrainer(
+        gen, T=11, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.05},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    res_full = tr.train_on_batch(
+        inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk, is_return_xs=True,
+        key=jax.random.PRNGKey(1),
+    )
+    gen.latents = None
+    res_thin = tr.train_on_batch(
+        inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk, is_return_xs=True,
+        capture_stride=3, key=jax.random.PRNGKey(1),
+    )
+    full = np.asarray(res_full["xs"][0])
+    thin = np.asarray(res_thin["xs"][0])
+    assert thin.shape[0] == 4  # t = 0, 3, 6, 9
+    np.testing.assert_allclose(thin, full[::3], atol=1e-6)

@@ -289,3 +289,63 @@ def test_adam_x_parity():
     )
     for xt, xj in zip(xs_t, gen.latents):
         np.testing.assert_allclose(np.asarray(xj), xt, atol=1e-4)
+
+
+def test_dense_update_p_all_parity():
+    """update_p_at='all' (the reference default) with in-scan parameter
+    updates must match torch's per-step zero/backward/step sequence."""
+    ref_pc = _ref_modules()
+    import torch.optim as optim
+
+    tmodel, jmodel, params = _build_pair(seed=6)
+    B, T, lr_x, lr_p, var = 4, 8, 0.05, 0.05, 1.0
+    torch.manual_seed(7)
+    data_t = torch.randn(B, 5)
+
+    trainer = ref_pc.PCTrainer(
+        tmodel,
+        T=T,
+        update_x_at="all",
+        optimizer_x_fn=optim.SGD,
+        optimizer_x_kwargs={"lr": lr_x},
+        update_p_at="all",
+        optimizer_p_fn=optim.SGD,
+        optimizer_p_kwargs={"lr": lr_p},
+        plot_progress_at=[],
+    )
+
+    def fe_t(output, _target, _var):
+        return (1 / _var) * 0.5 * (output - _target).pow(2).sum()
+
+    trainer.train_on_batch(
+        inputs=torch.zeros(B, 3),
+        loss_fn=fe_t,
+        loss_fn_kwargs={"_target": data_t, "_var": var},
+        is_log_progress=False,
+        is_return_results_every_t=False,
+        is_checking_after_callback_after_t=False,
+    )
+    t_params = [
+        (m.weight.detach().numpy().T, m.bias.detach().numpy())
+        for m in tmodel
+        if isinstance(m, torch.nn.Linear)
+    ]
+
+    gen = mcpc.GenerativeModel(jmodel, key=0, params=params)
+    jtr = mcpc.PCTrainer(
+        gen, T=T, update_x_at="all",
+        optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": lr_x},
+        update_p_at="all",
+        optimizer_p_fn="sgd", optimizer_p_kwargs={"lr": lr_p},
+    )
+    # the dense plan must be ONE segment with in-scan updates
+    assert len(jtr.plan.segments) == 1
+    assert jtr.plan.segments[0].p_update_every_step
+    jtr.train_on_batch(
+        jnp.zeros((B, 3)),
+        loss_fn=mcpc.fe_fn,
+        loss_fn_kwargs={"_target": jnp.asarray(data_t.numpy()), "_var": var},
+    )
+    for (tw, tb), jp in zip(t_params, gen.params):
+        np.testing.assert_allclose(np.asarray(jp["w"]), tw, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jp["b"]), tb, atol=1e-5)
