@@ -179,6 +179,7 @@ class PCTrainer:
         self._opt_x_state = None
         self._opt_p_state = None
         self._lr_scale = jnp.ones(())
+        self._lr_scale_host = 1.0
         self._fns: dict = {}
         # 'auto': use the fused Pallas chain kernel on TPU when the config
         # maps onto it (see _pallas_eligible); True/False force/disable.
@@ -233,6 +234,7 @@ class PCTrainer:
         """Set the effective x learning rate (reference pc_trainer.py:283-287)
         by adjusting the dynamic scale relative to the configured base lr."""
         self._lr_scale = jnp.asarray(lr / self.opt_x_spec.lr)
+        self._lr_scale_host = lr / self.opt_x_spec.lr
 
     def get_numparameters(self, exclude_first_linear: bool = False) -> int:
         return self.gen.model.num_parameters(self.gen.params, exclude_first_linear)
@@ -249,6 +251,7 @@ class PCTrainer:
     def recreate_optimizer_x(self):
         self._opt_x_state = None
         self._lr_scale = jnp.ones(())
+        self._lr_scale_host = 1.0  # host mirror (valid while dynamic lr is off)
 
     def recreate_optimizer_p(self):
         self._opt_p_state = None
@@ -274,8 +277,10 @@ class PCTrainer:
             return None
         if cfg.energy_coefficient != 1.0:
             return None  # the kernel hardcodes overall = loss + 1.0 * energy
-        if float(self._lr_scale) != 1.0:
-            return None  # set_x_lr / annealed scale isn't kernel-representable
+        if self._lr_scale_host != 1.0:
+            # set_x_lr'd scale isn't kernel-representable (host mirror is
+            # exact because dynamic annealing already disqualified above)
+            return None
         if cfg.dynamic_x_lr or cfg.early_stop_fn is not None:
             return None
         if cfg.loss_x_fn is not None or cfg.loss_inputs_fn is not None or is_optimize_inputs:
