@@ -11,6 +11,11 @@ A guided tour of the framework on the exactly-solvable linear-Gaussian model
 Run: python examples/demo.py   (CPU is fine; TPU uses the fused kernel)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
