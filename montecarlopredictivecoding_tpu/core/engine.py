@@ -269,8 +269,15 @@ def _run_segment(
         if noise_std is not None:
             latents = xs_tree["latents"]
             n_keys = jax.random.split(k_noise, len(latents))
+            # The reference draws grad ~ N(0, var/lr0) and applies it through
+            # optimizer.step() at the CURRENT param-group lr (model.py:43 reads
+            # defaults['lr']; the step uses group['lr']), so under set_x_lr or
+            # dynamic annealing the effective std is sqrt(lr0*var) * lr_t/lr0.
+            # random_step runs AFTER this iteration's annealing
+            # (pc_trainer.py:881-918), hence the post-anneal scale.
+            std = noise_std * lr_scale
             noise = tuple(
-                noise_std * jax.random.normal(nk, x.shape, x.dtype)
+                std * jax.random.normal(nk, x.shape, x.dtype)
                 for nk, x in zip(n_keys, latents)
             )
             if cfg.early_stop_fn is not None:
@@ -362,18 +369,29 @@ def _run_segment(
         )
 
     stride = cfg.capture_stride
-    if stride > 1 and seg.length >= stride:
-        # Thinned capture: outer scan over length//stride chunks, inner scan
-        # over stride steps, emitting the FIRST inner step of each chunk so
-        # the thinned capture equals full_capture[::stride] (the reference's
-        # slicing convention, utils/model.py:158, and the kernel's
-        # t % stride == 0 timing).  A non-divisible remainder is run as a
-        # plain scan whose first step is the final capture point.
-        n_outer = seg.length // stride
-        rem = seg.length - n_outer * stride
+    if stride > 1:
+        # Thinned capture anchored at the GLOBAL step index: a step is
+        # captured iff t % stride == 0 (t = seg.start + local index), so that
+        # the per-segment captures concatenate to exactly
+        # full_capture[::stride] regardless of where segment boundaries fall
+        # (the reference's slicing convention, utils/model.py:158, and the
+        # Pallas kernel's t % stride == 0 timing).  Layout per segment:
+        #   [lead steps, discarded] [n_full chunks of stride, first emitted]
+        #   [rem steps, first emitted]   (lead = (-start) % stride)
+        lead = (-seg.start) % stride
+        if lead >= seg.length:
+            # no aligned capture point falls inside this segment
+            carry, ys = jax.lax.scan(step, carry, xs)
+            ys = jax.tree_util.tree_map(lambda a: a[:0], ys)
+            return carry, ys
+        if lead:
+            xs_lead = jax.tree_util.tree_map(lambda a: a[:lead], xs)
+            carry, _ = jax.lax.scan(step, carry, xs_lead)
+        n_full = (seg.length - lead) // stride
+        rem = seg.length - lead - n_full * stride
         xs_main = jax.tree_util.tree_map(
-            lambda a: a[: n_outer * stride].reshape(
-                (n_outer, stride) + a.shape[1:]
+            lambda a: a[lead : lead + n_full * stride].reshape(
+                (n_full, stride) + a.shape[1:]
             ),
             xs,
         )
@@ -390,7 +408,7 @@ def _run_segment(
         carry, ys = jax.lax.scan(outer, carry, xs_main)
         if rem:
             xs_rem = jax.tree_util.tree_map(
-                lambda a: a[n_outer * stride :], xs
+                lambda a: a[lead + n_full * stride :], xs
             )
             carry, ys_rem = jax.lax.scan(step, carry, xs_rem)
             ys = jax.tree_util.tree_map(

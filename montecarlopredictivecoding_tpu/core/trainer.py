@@ -543,5 +543,14 @@ class PCTrainer:
                     return v[-1:]
                 return v
 
+            # 'optimized_inputs' is [B, D] (batch-leading, not time-leading,
+            # reference pc_trainer.py:754-759) — slicing it to [-1:] would
+            # silently drop all but the last datapoint.
+            not_time_leading = {
+                k: results.pop(k)
+                for k in ("optimized_inputs",)
+                if k in results
+            }
             results = {k: last_only(v) for k, v in results.items()}
+            results.update(not_time_leading)
         return results

@@ -156,7 +156,12 @@ def get_representations(
             capture_stride=stride,
         )
         reps = np.asarray(results["representations"])  # [T/stride, B, d]
-        post = reps[mixing // stride :]
+        # Post-burn-in window anchored at the mixing step: keep the LAST
+        # sampling//stride captures — every selected t is >= mixing, and when
+        # stride divides mixing and sampling this equals the reference's
+        # temp[mixing::indent] exactly (utils/model.py:158).
+        n_keep = max(sampling // stride, 1)
+        post = reps[len(reps) - n_keep :]
         if rep_type == "expectation":
             reps_here = reps.mean(axis=0)
             labels_here = np.asarray(label)

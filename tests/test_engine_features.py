@@ -126,6 +126,24 @@ def test_optimize_inputs():
     assert not np.allclose(np.asarray(res["optimized_inputs"]), 0.0)
 
 
+def test_optimize_inputs_last_only_keeps_batch():
+    """'optimized_inputs' is batch-leading [B, D]; last-only post-processing
+    must not slice it down to [1, D] (ADVICE r1, trainer.py last_only)."""
+    gen = _gen(key=4)
+    B = 3
+    inputs, lk = _kwargs(B=B)
+    tr = mcpc.PCTrainer(
+        gen, T=50, optimizer_x_fn="adam", optimizer_x_kwargs={"lr": 0.05},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    res = tr.train_on_batch(
+        inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk,
+        is_optimize_inputs=True, is_return_results_every_t=False,
+    )
+    assert res["optimized_inputs"].shape == (B, 2)
+    assert res["overall"].shape == (1,)
+
+
 def test_update_x_at_last_half():
     gen = _gen(key=5)
     inputs, lk = _kwargs()
@@ -272,6 +290,71 @@ def test_energy_fn_additional_inputs():
     e2 = float(np.asarray(res2["energy"])[0])
     e1 = float(np.asarray(res1["energy"])[0])
     assert abs(e2 - 2 * e1) < 1e-4 or (e1 == 0 and e2 == 0)
+
+
+def test_capture_stride_multi_segment_global_alignment():
+    """With a multi-segment plan (MCPC accumulate window) whose boundary is
+    NOT stride-aligned, thinned captures must still equal full[::stride] —
+    thinning is anchored at the global step index, not restarted per segment
+    (ADVICE r1, engine.py strided capture)."""
+    mixing, T, stride = 4, 11, 3  # segment boundary 4 % 3 != 0
+
+    def make():
+        gen = _gen(key=21)
+        tr = mcpc.PCTrainer(
+            gen, T=T, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.05},
+            update_p_at="last", optimizer_p_fn="adam",
+            optimizer_p_kwargs={"lr": 0.01},
+            accumulate_p_at=list(range(mixing, T)),
+        )
+        return gen, tr
+
+    inputs, lk = _kwargs()
+    _, tr_full = make()
+    res_full = tr_full.train_on_batch(
+        inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk, is_return_xs=True,
+        key=jax.random.PRNGKey(7),
+    )
+    _, tr_thin = make()
+    res_thin = tr_thin.train_on_batch(
+        inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk, is_return_xs=True,
+        capture_stride=stride, key=jax.random.PRNGKey(7),
+    )
+    full = np.asarray(res_full["xs"][0])
+    thin = np.asarray(res_thin["xs"][0])
+    assert thin.shape[0] == 4  # t = 0, 3, 6, 9
+    np.testing.assert_allclose(thin, full[::stride], atol=1e-6)
+
+
+def test_langevin_noise_scales_with_set_x_lr():
+    """Reference random_step applies the noise through optimizer.step() at
+    the CURRENT param-group lr, so set_x_lr scales BOTH the gradient step and
+    the effective noise std; with identical keys the one-step increment under
+    2x lr is exactly 2x the baseline increment (ADVICE r1, engine.py noise)."""
+    lr0 = 0.01
+
+    def one_step(scale):
+        gen = _gen(key=23)
+        tr = mcpc.PCTrainer(
+            gen, T=1, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": lr0},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        if scale != 1.0:
+            tr.set_x_lr(lr0 * scale)
+        inputs, lk = _kwargs()
+        gen.sample_latents(inputs, jax.random.PRNGKey(5))
+        x0 = np.asarray(gen.latents[0])
+        tr.train_on_batch(
+            inputs, loss_fn=mcpc.fe_fn, loss_fn_kwargs=lk,
+            callback_after_t=mcpc.LangevinStep(var=2.0),
+            is_sample_x_at_batch_start=False,
+            key=jax.random.PRNGKey(3),
+        )
+        return np.asarray(gen.latents[0]) - x0
+
+    d1 = one_step(1.0)
+    d2 = one_step(2.0)
+    np.testing.assert_allclose(d2, 2.0 * d1, rtol=1e-5, atol=1e-7)
 
 
 def test_capture_stride_with_remainder():
