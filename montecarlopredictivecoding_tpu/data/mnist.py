@@ -162,6 +162,36 @@ def load_mnist_arrays(
     return _synthetic_mnist(n_synthetic_train, n_synthetic_test)
 
 
+def mnist_source_fingerprint(
+    root: str = "MNIST_data",
+    allow_synthetic: bool = True,
+    n_synthetic_test: int = 10000,
+) -> tp.Tuple[str, str]:
+    """Identify the test-split data content as ``(source, digest)`` without
+    loading it: real IDX files hash their bytes; the synthetic fallback is a
+    deterministic generator, so a version tag suffices.  Consumers key derived
+    caches (e.g. FID reference moments, eval/fid.py) on this so dropping real
+    IDX files into ``<root>/MNIST/raw`` invalidates synthetic-derived caches.
+    """
+    import hashlib
+
+    paths = {k: _find(root, v) for k, v in _RAW_NAMES.items()}
+    # same all-files condition as load_mnist_arrays, so the fingerprinted
+    # source always matches what the loader will actually return
+    if all(paths.values()):
+        h = hashlib.sha256()
+        for k in ("test_images", "test_labels"):
+            with open(paths[k], "rb") as f:
+                h.update(f.read())
+        return "idx", h.hexdigest()[:12]
+    if not allow_synthetic:
+        raise FileNotFoundError(
+            f"MNIST IDX files not found under {root!r} and synthetic fallback "
+            "disabled"
+        )
+    return "synthetic", f"v1n{n_synthetic_test}"
+
+
 class Batches:
     """Minimal array-backed batch iterator (the DataLoader role).
 
