@@ -110,6 +110,9 @@ def similarity_increase_digit(ctx: ExperimentContext, ax=None,
         kls_np = data
 
     kls_mean = kls_np.mean(-1)
+    # Preserved upstream quirk (PARITY.md "Preserved quirks"): the reference
+    # computes "s.e.m." as std/n, not std/sqrt(n) (figure_5.py:153); kept
+    # verbatim so the error bars match the published figure.
     kls_sem = kls_np.std(-1) / kls_np.shape[-1]
 
     plot = ax is None
