@@ -189,6 +189,10 @@ class PCTrainer:
         # final-state only (shape [1]) — callers that consume trajectories,
         # not scalar traces, set this for full kernel speed.
         self.use_pallas_capture: bool = False
+        # 'auto': run the kernel's MXU matmuls in bfloat16 (f32 accumulate,
+        # f32 state) once the batch is wide enough to be compute-bound;
+        # True/False force/disable.
+        self.use_pallas_bf16: tp.Union[str, bool] = "auto"
 
     # -- reference utility surface (pc_trainer.py:312-461) ---------------------
 
@@ -258,22 +262,35 @@ class PCTrainer:
 
     # -- fused-kernel fast path ---------------------------------------------------
 
-    def _pallas_eligible(self, cfg: EngineConfig, loss_fn, is_optimize_inputs):
+    def _pallas_eligible(
+        self, cfg: EngineConfig, loss_fn, is_optimize_inputs, langevin_var
+    ):
         """The fused whole-chain kernel (ops/pallas_mcpc.py) covers the hot
-        configuration: plain-SGD updates on every step over the canonical
-        MLP, optional Langevin noise, parameter grads accumulated over a
-        contiguous suffix window with a single update at the last step, no
-        per-step captures."""
+        configurations over the canonical relu/tanh MLP:
+
+        * 'langevin' mode — plain-SGD x-updates on every step, optional
+          Langevin noise, parameter grads accumulated over a contiguous
+          suffix window with a single update at the last step (the MCPC
+          chain, reference training_evaluation.py:43-56);
+        * 'warm' mode — Adam x-updates on every step (the PC MAP descent,
+          reference training_evaluation.py:16-39), optionally emitting the
+          final step's parameter gradients (update_p='last' PC training).
+        """
         from ..core import losses as L
-        from ..ops import supports_model
+        from ..ops import model_activation, supports_model
 
         if self.use_pallas is False:
             return None
         if self.use_pallas == "auto" and jax.default_backend() != "tpu":
             return None
-        if not supports_model(self.gen.model):
+        activation = model_activation(self.gen.model)
+        if activation is None or not supports_model(self.gen.model, activation):
             return None
-        if self.opt_x_spec.name != "sgd" or self.opt_x_spec.momentum:
+        if self.opt_x_spec.name == "sgd" and not self.opt_x_spec.momentum:
+            mode = "langevin"
+        elif self.opt_x_spec.name == "adam" and not self.opt_x_spec.weight_decay:
+            mode = "warm"
+        else:
             return None
         if cfg.energy_coefficient != 1.0:
             return None  # the kernel hardcodes overall = loss + 1.0 * energy
@@ -292,6 +309,14 @@ class PCTrainer:
             return None
         if cfg.capture_every_t and not (wants_traj and self.use_pallas_capture):
             return None
+        if mode == "warm":
+            # Adam moments start at zero in the kernel: require a fresh
+            # optimizer (the per-batch resample pattern); noise and captures
+            # live in the Langevin phase only
+            if langevin_var is not None or wants_traj:
+                return None
+            if self._opt_x_state is not None:
+                return None
         plan = cfg.plan
         if plan.update_x_at != tuple(range(plan.T)):
             return None
@@ -311,18 +336,21 @@ class PCTrainer:
                 "capture_xs": cfg.capture_xs,
                 "capture_representations": cfg.capture_representations,
             }
+        base = {"loss": loss_name, "mode": mode, "activation": activation}
         if not plan.update_p_at:
-            return {"loss": loss_name, "with_pgrads": False, "mixing": 0, **cap}
+            return {**base, "with_pgrads": False, "mixing": 0, **cap}
         if plan.update_p_at != (plan.T - 1,):
             return None
         if plan.accumulate_p_at:
+            if mode == "warm":
+                return None  # warm-mode pgrads come from the last step only
             acc = plan.accumulate_p_at
             if acc != tuple(range(acc[0], plan.T)):
                 return None
             mixing = acc[0]
         else:
             mixing = plan.T - 1
-        return {"loss": loss_name, "with_pgrads": True, "mixing": mixing, **cap}
+        return {**base, "with_pgrads": True, "mixing": mixing, **cap}
 
     def _run_pallas(self, dispatch, cfg, inputs, loss_fn_kwargs, langevin_var, key):
         from ..ops import mcpc_chain_pallas
@@ -332,26 +360,48 @@ class PCTrainer:
         target = loss_fn_kwargs.get("_target")
         input_var = loss_fn_kwargs.get("_var") or 1.0
         stride = dispatch.get("capture_stride", 0)
+        on_tpu = jax.default_backend() == "tpu"
+        if dispatch["mode"] == "warm":
+            # full-chain Adam MAP descent (+ optional last-step pgrads)
+            phase = dict(
+                T=0,
+                lr=self.opt_x_spec.lr,
+                noise_var=None,
+                warm_T=self.T,
+                warm_lr=self.opt_x_spec.lr,
+                warm_b1=self.opt_x_spec.betas[0],
+                warm_b2=self.opt_x_spec.betas[1],
+                warm_eps=self.opt_x_spec.eps,
+                warm_pgrads=dispatch["with_pgrads"],
+            )
+        else:
+            phase = dict(T=self.T, lr=self.opt_x_spec.lr, noise_var=langevin_var)
+        bf16 = self.use_pallas_bf16
+        if bf16 == "auto":
+            # bf16 MXU pays off once the chain is compute-bound (wide batch);
+            # small batches stay f32 so kernel-vs-engine parity is exact
+            bf16 = on_tpu and inputs.shape[0] >= 1024
         outs = mcpc_chain_pallas(
             gen.params,
             gen.latents,
             target,
             seed,
-            T=self.T,
-            lr=self.opt_x_spec.lr,
-            noise_var=langevin_var,
             loss=dispatch["loss"],
             input_var=float(input_var),
             mixing=dispatch["mixing"],
             with_pgrads=dispatch["with_pgrads"],
             capture_stride=stride,
+            activation=dispatch["activation"],
+            return_scalars=True,
+            bf16_matmul=bool(bf16),
             # off-TPU (use_pallas=True forced, e.g. in tests) run interpreted
-            interpret=jax.default_backend() != "tpu",
+            interpret=not on_tpu,
+            **phase,
         )
         if stride:
-            new_latents, pgrads, traj = outs
+            new_latents, pgrads, traj, scalars = outs
         else:
-            new_latents, pgrads = outs
+            new_latents, pgrads, scalars = outs
             traj = None
         gen.latents = new_latents
         if dispatch["with_pgrads"] and self.opt_p_spec is not None:
@@ -367,19 +417,19 @@ class PCTrainer:
                 tree_scale(pgrads, 1.0 / divisor), self._opt_p_state, gen.params
             )
             gen.params = optax.apply_updates(gen.params, updates)
-        # final-state scalars, matching is_return_results_every_t=False shape
-        res = gen.model.apply(gen.params, gen.latents, inputs)
-        energy = sum(res.energies)
-        loss = (
-            cfg.loss_fn(res.output, **loss_fn_kwargs)
-            if cfg.loss_fn is not None
-            else jnp.zeros(())
-        )
+        # kernel-emitted scalars, PRE-update per step (the engine/reference
+        # convention, pc_trainer.py:777-795): rows 0..n_cap-1 are the
+        # captured steps, the last row is the final step
+        loss_rows, energy_rows = scalars["loss"], scalars["energy"]
+        if cfg.capture_every_t and traj is not None:
+            loss_v, energy_v = loss_rows[:-1], energy_rows[:-1]
+        else:
+            loss_v, energy_v = loss_rows[-1:], energy_rows[-1:]
         results = {
-            "loss": jnp.reshape(loss, (1,)),
-            "energy": jnp.reshape(energy, (1,)),
-            "overall": jnp.reshape(loss + cfg.energy_coefficient * energy, (1,)),
-            "x_lr_scale": jnp.ones((1,)),
+            "loss": loss_v,
+            "energy": energy_v,
+            "overall": loss_v + cfg.energy_coefficient * energy_v,
+            "x_lr_scale": jnp.ones_like(loss_v),
             "stop_t": jnp.full((), -1, dtype=jnp.int32),
         }
         if traj is not None:
@@ -497,7 +547,9 @@ class PCTrainer:
             capture_overall_elementwise=is_return_batchelement_loss,
             capture_stride=int(capture_stride),
         )
-        dispatch = self._pallas_eligible(cfg, loss_fn, is_optimize_inputs)
+        dispatch = self._pallas_eligible(
+            cfg, loss_fn, is_optimize_inputs, langevin_var
+        )
         if dispatch is not None and any(
             k.startswith("energy__") for k in loss_fn_kwargs
         ):

@@ -1,3 +1,3 @@
-from .pallas_mcpc import mcpc_chain_pallas, supports_model
+from .pallas_mcpc import mcpc_chain_pallas, model_activation, supports_model
 
-__all__ = ["mcpc_chain_pallas", "supports_model"]
+__all__ = ["mcpc_chain_pallas", "model_activation", "supports_model"]

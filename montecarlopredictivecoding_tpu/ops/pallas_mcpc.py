@@ -6,12 +6,15 @@ figure_2.py:167-173 scale) — as ONE kernel: weights, latents, the target and
 the parameter-gradient accumulators live in VMEM for the entire chain, the
 per-step Gaussian noise comes from the on-core PRNG (Box-Muller over
 ``pltpu.prng_random_bits``), and each step is a handful of MXU matmuls plus
-VPU elementwise work.  Zero HBM traffic inside the loop.
+VPU elementwise work.  Zero HBM traffic inside the loop.  Batches larger
+than one VMEM-resident tile are grid-tiled over the batch dimension: each
+tile runs its full chain, parameter-gradient/scalar accumulators are
+revisited (and summed) across the sequential grid steps.
 
-Topology (must match ``make_mlp_model``):
+Topology (must match ``make_mlp_model``; act ∈ {relu, tanh}):
 
-    zeros -> Linear(d0,d0) -> PC(x0) -> ReLU -> Linear(d0,d1) -> PC(x1)
-          -> ReLU -> Linear(d1,d2) -> PC(x2) -> ReLU -> Linear(d2,D) -> loss
+    zeros -> Linear(d0,d0) -> PC(x0) -> act -> Linear(d0,d1) -> PC(x1)
+          -> act -> Linear(d1,d2) -> PC(x2) -> act -> Linear(d2,D) -> loss
 
 Energy and closed-form gradients (the same math jax.grad derives in the
 scan engine — parity-tested against it):
@@ -19,17 +22,22 @@ scan engine — parity-tested against it):
     err_l = x_l - mu_l                      (mu0 = b0: zeros pseudo-input)
     s     = dLoss/dlogits   (Bernoulli: sigmoid(logits) - y;
                              Gaussian: (logits - y)/var;  unclamped: 0)
-    dE/dx2 = err2 + relu'(x2) * (s @ W3ᵀ)
-    dE/dx1 = err1 - relu'(x1) * (err2 @ W2ᵀ)
-    dE/dx0 = err0 - relu'(x0) * (err1 @ W1ᵀ)
+    dE/dx2 = err2 + act'(x2) * (s @ W3ᵀ)
+    dE/dx1 = err1 - act'(x1) * (err2 @ W2ᵀ)
+    dE/dx0 = err0 - act'(x0) * (err1 @ W1ᵀ)
     x_l   <- x_l - lr * dE/dx_l + sqrt(lr * var) * eps
 
 Optional Monte-Carlo parameter-gradient accumulation over steps
 t >= mixing (the MCPC learning rule, reference pc_trainer.py:848-914):
 
-    gW3 += relu(x2)ᵀ s        gb3 += Σ_b s
-    gW2 += -relu(x1)ᵀ err2    gb2 += -Σ_b err2     (same for layer 1)
+    gW3 += act(x2)ᵀ s        gb3 += Σ_b s
+    gW2 += -act(x1)ᵀ err2    gb2 += -Σ_b err2     (same for layer 1)
     gb0 += -Σ_b err0          (gW0 = 0: zeros input)
+
+The optional Adam warm-start phase covers the reference's PC MAP descent
+(utils/model.py:121-131); with ``warm_pgrads`` it also emits the final-step
+parameter gradients, i.e. a full PC training step (update_x='all' Adam,
+update_p='last', reference training_evaluation.py:16-39) in one dispatch.
 """
 
 from __future__ import annotations
@@ -46,10 +54,23 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.model import PCModel
 from ..core.modules import PC, Activation, Linear
 
+_SUPPORTED_ACTS = ("relu", "tanh")
 
-def supports_model(model: PCModel, activation: str = "relu") -> bool:
-    """The kernel covers the canonical 4-Linear ReLU MLP with 3 PC sites
-    using the default Gaussian energy and no S/M masks."""
+
+def model_activation(model: PCModel) -> tp.Optional[str]:
+    """The model's uniform activation name if kernel-supported, else None."""
+    names = {m.name for m in model.modules if isinstance(m, Activation)}
+    if len(names) == 1:
+        name = names.pop()
+        if name in _SUPPORTED_ACTS:
+            return name
+    return None
+
+
+def supports_model(model: PCModel, activation: tp.Optional[str] = None) -> bool:
+    """The kernel covers the canonical 4-Linear MLP with 3 PC sites, a
+    uniform relu/tanh activation, the default Gaussian energy and no S/M
+    masks.  Pass ``activation`` to require a specific one."""
     from ..core.modules import gaussian_energy
 
     kinds = [type(m).__name__ for m in model.modules]
@@ -58,9 +79,8 @@ def supports_model(model: PCModel, activation: str = "relu") -> bool:
         "Linear", "PC", "Activation", "Linear",
     ]:
         return False
-    if not all(
-        m.name == activation for m in model.modules if isinstance(m, Activation)
-    ):
+    act = model_activation(model)
+    if act is None or (activation is not None and act != activation):
         return False
     # the kernel's closed-form gradients assume 0.5*(mu-x)^2 everywhere
     return all(
@@ -68,6 +88,16 @@ def supports_model(model: PCModel, activation: str = "relu") -> bool:
         for m in model.modules
         if isinstance(m, PC)
     )
+
+
+def _pick_batch_tile(B: int, cap: int = 1024) -> int:
+    """Largest divisor of B that fits one VMEM-resident tile (<= cap)."""
+    if B <= cap:
+        return B
+    for t in range(cap, 0, -1):
+        if B % t == 0:
+            return t
+    return B
 
 
 def _normals(shape):
@@ -91,12 +121,16 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         loss: str, inv_var: float, with_pgrads: bool,
                         dims: tuple, bf16_matmul: bool = True,
                         warm: tp.Optional[tuple] = None,
-                        capture_stride: int = 0):
+                        capture_stride: int = 0,
+                        activation: str = "relu",
+                        warm_pgrads: bool = False,
+                        n_scal_rows: int = 0,
+                        tile_B: int = 0):
     """Packed variant: one block-diagonal matmul per direction per step.
 
     All PC-site predictions depend only on the *current* latents, so the
     forward projections mu1/mu2/logits fuse into a single
-    ``relu(X) @ blockdiag(W1, W2, W3)`` with X = [x0 | x1 | x2], and the
+    ``act(X) @ blockdiag(W1, W2, W3)`` with X = [x0 | x1 | x2], and the
     backward projections into one matmul against its transpose.  This trades
     ~3x extra (zero-block) FLOPs for ~5x fewer MXU dispatches — a win because
     the small per-layer matmuls are latency-bound, not FLOP-bound.
@@ -106,30 +140,45 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
     xw = d0 + d1 + d2            # total latent width
     o1_, o2_, o3_ = 0, d1, d1 + d2  # column offsets of mu1/mu2/logits
     ow = d1 + d2 + D
+    emit_scalars = n_scal_rows > 0
+    xw_pad = -(-xw // 128) * 128
 
     def kernel(
         seed_ref,  # SMEM [1]
         wf, b0, b_cat,  # packed params: blockdiag fwd weights, prior bias, cat biases
-        x_in,  # packed latents [B, xw]
-        y,  # target [B, D]
-        x_out,  # packed latents out
+        x_in,  # packed latents tile [tile_B, xw]
+        y,  # target tile [tile_B, D]
+        x_out,  # packed latents out tile
         *rest,  # outputs: [gw_full, gb_cat, gb0] when with_pgrads, then
-                # [traj (HBM)] when capture_stride > 0; scratch: [dma_sem]
+                # [scal] when n_scal_rows > 0, then [traj (HBM)] when
+                # capture_stride > 0; scratch: [cap_buf, dma_sem]
     ):
         k = 0
         if with_pgrads:
             gw_full, gb_cat, gb0 = rest[0:3]
             k = 3
+        if emit_scalars:
+            scal = rest[k]  # VMEM [n_scal_rows, 128]
+            k += 1
         if capture_stride > 0:
             traj_ref = rest[k]       # HBM [n_cap, B, xw_pad]
-            cap_buf = rest[k + 1]    # VMEM staging [B, xw_pad] (128-aligned)
+            cap_buf = rest[k + 1]    # VMEM staging [tile_B, xw_pad]
             dma_sem = rest[k + 2]
+        tile_i = pl.program_id(0)
         if noise_std > 0.0:  # seeding is TPU-only; skip on deterministic runs
-            pltpu.prng_seed(seed_ref[0])
-        if with_pgrads:
-            gw_full[...] = jnp.zeros_like(gw_full)
-            gb_cat[...] = jnp.zeros_like(gb_cat)
-            gb0[...] = jnp.zeros_like(gb0)
+            # decorrelate the noise streams of the batch tiles
+            pltpu.prng_seed(seed_ref[0] + tile_i)
+
+        # accumulators are revisited across the sequential batch-tile grid:
+        # zero them only on the first tile
+        @pl.when(tile_i == 0)
+        def _():
+            if with_pgrads:
+                gw_full[...] = jnp.zeros_like(gw_full)
+                gb_cat[...] = jnp.zeros_like(gb_cat)
+                gb0[...] = jnp.zeros_like(gb0)
+            if emit_scalars:
+                scal[...] = jnp.zeros_like(scal)
 
         x_out[...] = x_in[...]
 
@@ -139,11 +188,21 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 b = b.astype(jnp.bfloat16)
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
+        def act(X):
+            if activation == "relu":
+                return jnp.maximum(X, 0.0)
+            return jnp.tanh(X)
+
         def grads_and_V(X):
             """Energy gradient w.r.t. the packed latents, plus the packed
-            backward vector V = [err1 | err2 | -s] and relu(X) (reused for
-            the Hebbian parameter grads)."""
-            H = jnp.maximum(X, 0.0)
+            backward vector V = [err1 | err2 | -s], H = act(X) (reused for
+            the Hebbian parameter grads), and err_cat/logits (reused for the
+            scalar loss/energy emission)."""
+            H = act(X)
+            if activation == "relu":
+                dH = jnp.where(X > 0, 1.0, 0.0)
+            else:  # tanh' = 1 - tanh^2
+                dH = 1.0 - H * H
             MU = mm(H, wf[...]) + b_cat[...][None, :]  # [B, d1+d2+D]
 
             err0 = X[:, c1 - d0 : c1] - b0[...][None, :]
@@ -162,8 +221,35 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             V = jnp.concatenate([err1, err2, -s], axis=1)
             back = mm(V, wf[...].T)  # [B, xw]
             err_cat = jnp.concatenate([err0, err1, err2], axis=1)
-            G = err_cat - jnp.where(X > 0, 1.0, 0.0) * back
-            return G, V, H, err0
+            G = err_cat - dH * back
+            return G, V, H, err0, err_cat, logits
+
+        def scal_row(err_cat, logits):
+            """[1, 128] row: lane 0 = sensory loss, lane 1 = layer energy —
+            both batch-tile sums (accumulated across tiles), computed from
+            the PRE-update state (the engine/reference scalar convention,
+            pc_trainer.py:777-795)."""
+            energy_s = 0.5 * jnp.sum(err_cat * err_cat)
+            if loss == "bernoulli":
+                loss_s = jnp.sum(
+                    jnp.maximum(logits, 0.0)
+                    - logits * y[...]
+                    + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+                )
+            elif loss == "gaussian":
+                loss_s = 0.5 * inv_var * jnp.sum((logits - y[...]) ** 2)
+            else:
+                loss_s = jnp.zeros(())
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            return jnp.where(
+                lane == 0, loss_s, jnp.where(lane == 1, energy_s, 0.0)
+            )
+
+        def accum_pgrads(V, H, err0):
+            # Hᵀ @ [-err1 | -err2 | s]: diagonal blocks = grads
+            gw_full[...] += mm(H.T, -V)
+            gb_cat[...] += jnp.sum(-V, axis=0)
+            gb0[...] += jnp.sum(-err0, axis=0)
 
         def body(m_ref, v_ref):
             # -- optional Adam MAP warm start (the reference's PC phase:
@@ -179,7 +265,21 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                     # has no powf with a traced exponent
                     b1p, b2p = carry
                     X = x_out[...]
-                    G, _, _, _ = grads_and_V(X)
+                    G, V, H, err0, err_cat, logits = grads_and_V(X)
+                    if warm_pgrads:
+                        # PC training: update_p='last' takes the final
+                        # step's pre-update gradients (pc_trainer.py:904-914)
+                        @pl.when(t == warm_T - 1)
+                        def _():
+                            accum_pgrads(V, H, err0)
+                    if emit_scalars and T == 0:
+                        # pure-PC chain: the last pre-update scalars come
+                        # from the warm phase's final step
+                        @pl.when(t == warm_T - 1)
+                        def _():
+                            scal[n_scal_rows - 1 : n_scal_rows, :] += (
+                                scal_row(err_cat, logits)
+                            )
                     m = wb1 * m_ref[...] + (1.0 - wb1) * G
                     v = wb2 * v_ref[...] + (1.0 - wb2) * G * G
                     m_ref[...] = m
@@ -208,20 +308,37 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         cap_buf[:, 0:xw] = X
                         slot = t // capture_stride
                         cp = pltpu.make_async_copy(
-                            cap_buf, traj_ref.at[slot], dma_sem
+                            cap_buf,
+                            traj_ref.at[slot, pl.ds(tile_i * tile_B, tile_B)],
+                            dma_sem,
                         )
                         cp.start()
                         cp.wait()
 
-                G, V, H, err0 = grads_and_V(X)
+                G, V, H, err0, err_cat, logits = grads_and_V(X)
+
+                if emit_scalars and capture_stride > 0:
+                    @pl.when(t % capture_stride == 0)
+                    def _():
+                        slot = t // capture_stride
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (n_scal_rows, 1), 0
+                        )
+                        scal[...] += (
+                            jnp.where(rows == slot, 1.0, 0.0)
+                            * scal_row(err_cat, logits)
+                        )
+                if emit_scalars:
+                    @pl.when(t == T - 1)
+                    def _():
+                        scal[n_scal_rows - 1 : n_scal_rows, :] += (
+                            scal_row(err_cat, logits)
+                        )
 
                 if with_pgrads:
                     @pl.when(t >= mixing)
                     def _():
-                        # Hᵀ @ [-err1 | -err2 | s]: diagonal blocks = grads
-                        gw_full[...] += mm(H.T, -V)
-                        gb_cat[...] += jnp.sum(-V, axis=0)
-                        gb0[...] += jnp.sum(-err0, axis=0)
+                        accum_pgrads(V, H, err0)
 
                 if noise_std > 0.0:
                     x_out[...] = X - lr * G + noise_std * _normals(X.shape)
@@ -246,6 +363,9 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
 def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
                  loss: str, inv_var: float, with_pgrads: bool,
                  bf16_matmul: bool = True):
+    """Unpacked reference variant (relu-only, single tile): one matmul per
+    layer per direction — kept as the readable baseline the packed kernel is
+    parity-tested against."""
     def kernel(
         seed_ref,  # SMEM [1]
         w0, b0, w1, b1, w2, b2, w3, b3,  # params (VMEM)
@@ -342,7 +462,8 @@ def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
         "T", "mixing", "lr", "noise_var", "loss", "input_var",
         "with_pgrads", "interpret", "bf16_matmul", "packed",
         "warm_T", "warm_lr", "warm_b1", "warm_b2", "warm_eps",
-        "capture_stride",
+        "capture_stride", "activation", "warm_pgrads", "return_scalars",
+        "batch_tile",
     ),
 )
 def mcpc_chain_pallas(
@@ -367,12 +488,29 @@ def mcpc_chain_pallas(
     warm_b2: float = 0.999,
     warm_eps: float = 1e-8,
     capture_stride: int = 0,
+    activation: str = "relu",
+    warm_pgrads: bool = False,
+    return_scalars: bool = False,
+    batch_tile: tp.Optional[int] = None,
 ):
-    """Run (optionally) warm_T Adam MAP steps then T fused MCPC steps;
-    returns (latents', pgrads or None) — or, with ``capture_stride > 0``
-    (packed mode), (latents', pgrads or None, traj) where ``traj`` holds the
-    packed pre-update latents every stride Langevin steps,
-    shape [ceil(T/stride), B, d0+d1+d2] (DMA'd to HBM from inside the chain).
+    """Run (optionally) warm_T Adam MAP steps then T fused MCPC steps.
+
+    Returns ``(latents', pgrads_or_None)``, appending — in order — ``traj``
+    when ``capture_stride > 0`` (packed pre-update latents every stride
+    Langevin steps, shape [ceil(T/stride), B, d0+d1+d2], DMA'd to HBM from
+    inside the chain) and ``scalars`` when ``return_scalars``
+    (``{"loss": [R], "energy": [R]}`` batch sums with R = n_captures + 1;
+    rows 0..R-2 are the captured steps' PRE-update values, row R-1 is the
+    final step's pre-update value — the engine/reference convention,
+    pc_trainer.py:777-795).
+
+    Batches larger than one VMEM tile are grid-tiled over the batch
+    (``batch_tile``; default: largest divisor of B ≤ 1024); accumulators sum
+    across tiles, noise streams are decorrelated per tile.
+
+    With ``warm_pgrads`` (requires warm_T > 0) the warm phase's final step
+    also accumulates parameter gradients — ``T=0`` then gives a complete PC
+    training step (Adam on x every step, p-update from the last step).
 
     pgrads mirror the params structure (gw0 is zeros — the pseudo-input is
     zeros so the first weight never receives gradient, matching the engine).
@@ -384,6 +522,12 @@ def mcpc_chain_pallas(
     noise_std = float(np.sqrt(lr * noise_var)) if noise_var else 0.0
     if warm_T and not packed:
         raise ValueError("the Adam warm-start phase requires packed=True")
+    if warm_pgrads and not warm_T:
+        raise ValueError("warm_pgrads requires warm_T > 0")
+    if activation != "relu" and not packed:
+        raise ValueError("packed=False supports relu only")
+    if capture_stride > 0 and T == 0:
+        raise ValueError("capture_stride requires a Langevin phase (T > 0)")
 
     if packed:
         d0, d1, d2 = x0.shape[1], x1.shape[1], x2.shape[1]
@@ -397,6 +541,13 @@ def mcpc_chain_pallas(
         b_cat = jnp.concatenate([b1, b2, b3])
         X = jnp.concatenate([x0, x1, x2], axis=1)
 
+        tile = _pick_batch_tile(B) if batch_tile is None else int(batch_tile)
+        if B % tile != 0:
+            raise ValueError(f"batch {B} not divisible by batch_tile {tile}")
+        n_tiles = B // tile
+        n_cap = -(-T // capture_stride) if capture_stride > 0 else 0
+        n_scal_rows = (n_cap + 1) if return_scalars else 0
+
         kernel = _make_packed_kernel(
             T=T, mixing=mixing, lr=lr, noise_std=noise_std,
             loss=loss, inv_var=1.0 / input_var, with_pgrads=with_pgrads,
@@ -405,10 +556,15 @@ def mcpc_chain_pallas(
             if warm_T > 0
             else None,
             capture_stride=capture_stride,
+            activation=activation,
+            warm_pgrads=warm_pgrads,
+            n_scal_rows=n_scal_rows,
+            tile_B=tile,
         )
-        out_shapes = [jax.ShapeDtypeStruct((B, xw), jnp.float32)]
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-        out_specs = [vmem]
+        row_block = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0))
+        out_shapes = [jax.ShapeDtypeStruct((B, xw), jnp.float32)]
+        out_specs = [row_block(xw)]
         if with_pgrads:
             out_shapes += [
                 jax.ShapeDtypeStruct((xw, ow), jnp.float32),
@@ -416,7 +572,11 @@ def mcpc_chain_pallas(
                 jax.ShapeDtypeStruct((d0,), jnp.float32),
             ]
             out_specs += [vmem] * 3
-        n_cap = -(-T // capture_stride) if capture_stride > 0 else 0
+        if return_scalars:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((n_scal_rows, 128), jnp.float32)
+            )
+            out_specs.append(vmem)
         xw_pad = -(-xw // 128) * 128  # DMA slices must be lane-aligned
         scratch = []
         if capture_stride > 0:
@@ -424,12 +584,15 @@ def mcpc_chain_pallas(
                 jax.ShapeDtypeStruct((n_cap, B, xw_pad), jnp.float32)
             )
             out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-            scratch.append(pltpu.VMEM((B, xw_pad), jnp.float32))
+            scratch.append(pltpu.VMEM((tile, xw_pad), jnp.float32))
             scratch.append(pltpu.SemaphoreType.DMA(()))
         outs = pl.pallas_call(
             kernel,
+            grid=(n_tiles,),
             out_shape=out_shapes,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 5,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [vmem] * 3
+            + [row_block(xw), row_block(D)],
             out_specs=out_specs,
             scratch_shapes=scratch,
             interpret=interpret,
@@ -442,18 +605,32 @@ def mcpc_chain_pallas(
         Xo = outs[0]
         new_latents = (Xo[:, 0:d0], Xo[:, d0 : d0 + d1], Xo[:, d0 + d1 :])
         pgrads = None
+        k = 1
         if with_pgrads:
-            gw_full, gb_cat, gb0 = outs[1:4]
+            gw_full, gb_cat, gb0 = outs[k : k + 3]
+            k += 3
             pgrads = (
                 {"w": jnp.zeros_like(w0), "b": gb0},
                 {"w": gw_full[0:d0, 0:d1], "b": gb_cat[0:d1]},
                 {"w": gw_full[d0 : d0 + d1, d1 : d1 + d2], "b": gb_cat[d1 : d1 + d2]},
                 {"w": gw_full[d0 + d1 :, d1 + d2 :], "b": gb_cat[d1 + d2 :]},
             )
+        scalars = None
+        if return_scalars:
+            scal = outs[k]
+            k += 1
+            scalars = {"loss": scal[:, 0], "energy": scal[:, 1]}
+        ret = [new_latents, pgrads]
         if capture_stride > 0:
-            return new_latents, pgrads, outs[-1][:, :, :xw]
-        return new_latents, pgrads
+            ret.append(outs[k][:, :, :xw])
+        if return_scalars:
+            ret.append(scalars)
+        return tuple(ret)
 
+    if return_scalars or warm_pgrads or batch_tile is not None:
+        raise ValueError(
+            "return_scalars/warm_pgrads/batch_tile require packed=True"
+        )
     kernel = _make_kernel(
         T=T, mixing=mixing, lr=lr, noise_std=noise_std,
         loss=loss, inv_var=1.0 / input_var, with_pgrads=with_pgrads,
