@@ -32,24 +32,35 @@ def _config_mcpc(ctx, input_size=20, hidden=128):
     }
 
 
-def _config_pc(ctx, input_size=20, hidden=128, activation="relu"):
+def _config_pc(ctx, input_size=20, hidden=128, activation="relu", lr=0.1):
     return {
         "batch_size_train": 128, "batch_size_val": 1024, "batch_size_test": 1024,
         "input_size": input_size, "hidden_size": hidden, "hidden2_size": hidden,
         "output_size": 784, "loss_fn": mcpc.bernoulli_fn, "activation_fn": activation,
         "input_var": None,
         "T_pc": ctx.steps(250), "optimizer_x_fn_pc": "adam",
-        "optimizer_x_kwargs_pc": {"lr": 0.1},
+        "optimizer_x_kwargs_pc": {"lr": lr},
     }
 
 
-def _load_dlgm(ctx, name):
-    dlgm = DLGM(784, 256, 20, factor_recog=1, key=ctx.key(zlib.crc32(name.encode()) % 997))
+def _load_dlgm(ctx, name, hidden=256, latent=20):
+    """Native msgpack first, then the reference's torch state dict via the
+    import shim (the same search order as load_generative_checkpoint)."""
+    dlgm = DLGM(
+        784, hidden, latent, factor_recog=1,
+        key=ctx.key(zlib.crc32(name.encode()) % 997),
+    )
     path = os.path.join(ctx.path_models, name + ".msgpack")
     if os.path.isfile(path):
         dlgm.gen_params, dlgm.rec_params = load_checkpoint(
             path, (dlgm.gen_params, dlgm.rec_params)
         )
+        return dlgm
+    ref = os.path.join(ctx.reference_models, name)
+    if os.path.isfile(ref):
+        from ..utils.checkpoint import load_torch_dlgm
+
+        dlgm.gen_params, dlgm.rec_params = load_torch_dlgm(ref)
     return dlgm
 
 
@@ -79,18 +90,24 @@ def get_models_fids(ctx: ExperimentContext, seeds=(1, 2, 3), n_samples=5000,
     return fids
 
 
-def get_models_mse(ctx: ExperimentContext, seeds=(1, 2, 3), n_batches=1):
-    """Reference table_1.py:97-177."""
+def get_models_mse(ctx: ExperimentContext, seeds=(1, 2, 3), n_batches=None):
+    """Reference table_1.py:97-177 (exact per-metric configs: MCPC
+    10-256-256 relu with mcpc-lr 0.03, PC 30-256-256 tanh with pc-lr 0.7,
+    full test set)."""
     mses = np.zeros((len(seeds), 3))
     for i, s in enumerate(seeds):
         cfg_m = _config_mcpc(ctx, input_size=10, hidden=256)
-        cfg_p = _config_pc(ctx, input_size=30, hidden=256, activation="tanh")
+        cfg_m["optimizer_x_kwargs_mcpc"] = {"lr": 0.03}
+        cfg_p = _config_pc(ctx, input_size=30, hidden=256, activation="tanh", lr=0.7)
         cfg_m["input_var"], cfg_p["input_var"] = None, None
         gen_m = load_generative_checkpoint(ctx, f"mcpc_mse_{s}", cfg_m)
         gen_p = load_generative_checkpoint(ctx, f"pc_mse_{s}", cfg_p)
         dlgm = _load_dlgm(ctx, f"dlgm_mse_{s}")
         _, _, test_loader = get_mnist_data(cfg_p)
-        batches = [b for bi, b in enumerate(test_loader) if bi < n_batches]
+        batches = [
+            b for bi, b in enumerate(test_loader)
+            if n_batches is None or bi < n_batches
+        ]
         mses[i, 0] = get_mse_rec(gen_m, cfg_m, batches)
         mses[i, 1] = get_mse_rec(gen_p, cfg_p, batches)
         mses[i, 2] = dlgm.get_mse_rec(batches)
@@ -99,17 +116,23 @@ def get_models_mse(ctx: ExperimentContext, seeds=(1, 2, 3), n_batches=1):
 
 
 def get_models_ml(ctx: ExperimentContext, seeds=(1, 2, 3), n_samples=5000,
-                  n_batches=2):
-    """Reference table_1.py:179-259."""
+                  n_batches=None):
+    """Reference table_1.py:179-259 (exact per-metric configs: MCPC
+    20-128-128 relu with mcpc-lr 0.03, PC 25-128-128 tanh with pc-lr 0.3,
+    DLGM hidden 128 / latent 10, full validation set)."""
     mls = np.zeros((len(seeds), 3))
     for i, s in enumerate(seeds):
         cfg_m = _config_mcpc(ctx)
-        cfg_p = _config_pc(ctx)
+        cfg_m["optimizer_x_kwargs_mcpc"] = {"lr": 0.03}
+        cfg_p = _config_pc(ctx, input_size=25, activation="tanh", lr=0.3)
         gen_m = load_generative_checkpoint(ctx, f"mcpc_ml_{s}", cfg_m)
         gen_p = load_generative_checkpoint(ctx, f"pc_ml_{s}", cfg_p)
-        dlgm = _load_dlgm(ctx, f"dlgm_ml_{s}")
+        dlgm = _load_dlgm(ctx, f"dlgm_ml_{s}", hidden=128, latent=10)
         _, val_loader, _ = get_mnist_data(cfg_p)
-        batches = [b for bi, b in enumerate(val_loader) if bi < n_batches]
+        batches = [
+            b for bi, b in enumerate(val_loader)
+            if n_batches is None or bi < n_batches
+        ]
         mls[i, 0] = get_marginal_likelihood(gen_m, cfg_m, batches, n_samples=n_samples,
                                             key=ctx.key(400 + s))
         mls[i, 1] = get_marginal_likelihood(gen_p, cfg_p, batches, n_samples=n_samples,

@@ -45,6 +45,11 @@ def apply_preset(config: dict, preset: str, model: str) -> dict:
                 input_size=30, hidden_size=256, hidden2_size=256,
                 activation_fn="tanh",
             )
+    elif preset == "ml":
+        # reference table_1.py:196-225: MCPC keeps the standard stack; the
+        # PC ml models are 25-128-128-784 tanh
+        if model == "pc":
+            config.update(input_size=25, activation_fn="tanh")
     return config
 
 
@@ -221,7 +226,7 @@ def train_pc(epochs: int, out: str, seed: int = 0, batches_per_epoch=None, log=T
     return gen
 
 
-def train_dlgm(epochs: int, out: str, seed: int = 0, log=True):
+def train_dlgm(epochs: int, out: str, seed: int = 0, log=True, preset: str = "fid"):
     from ..models.dlgm import DLGM
 
     config = {
@@ -231,7 +236,10 @@ def train_dlgm(epochs: int, out: str, seed: int = 0, log=True):
         "batch_size_test": 1024,
     }
     train, _, _ = get_mnist_data(config, seed=seed)
-    dlgm = DLGM(input_dim=784, hidden_dim=256, latent_dim=20, factor_recog=1, key=seed)
+    # reference table_1.py DLGM configs: fid/mse use hidden 256 / latent 20,
+    # the ml models are hidden 128 / latent 10 (table_1.py:227-231)
+    hidden, latent = (128, 10) if preset == "ml" else (256, 20)
+    dlgm = DLGM(input_dim=784, hidden_dim=hidden, latent_dim=latent, factor_recog=1, key=seed)
     dlgm.train(train, epochs=epochs, log=log)
     save_checkpoint(
         out if out.endswith(".msgpack") else out + ".msgpack",
@@ -290,7 +298,7 @@ def main():
         train_pc(args.epochs, args.out, seed=args.seed,
                  batches_per_epoch=args.batches_per_epoch, preset=args.preset)
     elif args.model == "dlgm":
-        train_dlgm(args.epochs, args.out, seed=args.seed)
+        train_dlgm(args.epochs, args.out, seed=args.seed, preset=args.preset)
     else:
         train_resnet9_entry(
             args.epochs, args.out, seed=args.seed, is_mask=args.model.endswith("mask")

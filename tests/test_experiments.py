@@ -90,7 +90,7 @@ def test_table1_smoke(ctx):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # random-init fallback warnings
         fids = get_models_fids(ctx, seeds=(1,), n_samples=200)
-        mses = get_models_mse(ctx, seeds=(1,))
+        mses = get_models_mse(ctx, seeds=(1,), n_batches=1)
         mls = get_models_ml(ctx, seeds=(1,), n_samples=100, n_batches=1)
     assert np.all(np.isfinite(fids))
     assert np.all(np.isfinite(mses)) and np.all(mses >= 0)
