@@ -83,29 +83,47 @@ def similarity_increase_digit(ctx: ExperimentContext, ax=None,
     indent = 1  # post-capture thinning handled by capture_stride
 
     if data is None:
+        from ..models.factory import get_model
+        from ..parallel.sweep import sweep_warm_langevin_chains
+
         _, _, test_loader = get_mnist_data(config)
         natural, _ = next(iter(test_loader))
         gratings = jnp.asarray(grating_dataset(config["batch_size_test"], num_orientations=16))
         noise = jnp.asarray(noise_dataset(config["batch_size_test"]))
 
-        kls_seed = []
-        for seed in seeds:
-            kls = np.zeros((3, len(epochs)))
-            for ei, epoch in enumerate(epochs):
+        # The seed axis runs as a vmapped sweep (parallel/sweep.py) instead
+        # of the reference's sequential Python loop (figure_5.py:72-144):
+        # one batched chain per (epoch, stimulus) covers every seed at once
+        # and shards over the 'data' mesh axis like any batch dimension.
+        seeds = list(seeds)
+        base_model = get_model(config, key=0).model
+        pseudo = jnp.zeros((config["batch_size_test"], config["input_size"]))
+        kls_np = np.zeros((3, len(epochs), len(seeds)))
+        stimuli = ((0, None), (1, natural), (2, noise), (3, gratings))
+        for ei, epoch in enumerate(epochs):
+            params_list = []
+            for seed in seeds:
                 name = f"epoch_save/mcpc_aging_{seed}_" + (
                     f"epoch{epoch}" if epoch != 0 else "epoch_init"
                 )
                 gen = load_generative_checkpoint(ctx, name, config)
-                prior = _sample_latent_chain(ctx, gen, config, None, neuron_idx, stride)
-                post_nat = _sample_latent_chain(ctx, gen, config, natural, neuron_idx, stride)
-                post_noise = _sample_latent_chain(ctx, gen, config, noise, neuron_idx, stride)
-                post_grat = _sample_latent_chain(ctx, gen, config, gratings, neuron_idx, stride)
+                params_list.append(gen.params)
+            chains = {}
+            for li, tgt in stimuli:
+                xs = sweep_warm_langevin_chains(
+                    base_model, params_list, config, tgt, pseudo,
+                    ctx.key(500 + 11 * ei + li), stride=stride,
+                )
+                deep = np.asarray(xs[2])  # [S, n_cap, B, d]
+                post = deep[:, config["mixing"] // stride :, :, :]
+                post = post[:, :, :, neuron_idx]
+                chains[li] = post.reshape(len(seeds), -1, len(neuron_idx))
+            for si in range(len(seeds)):
+                prior = chains[0][si]
                 sub = max(len(prior) // 2000, 1)
-                kls[0, ei] = KLdivergence(prior[::sub], post_nat[::sub])
-                kls[1, ei] = KLdivergence(prior[::sub], post_noise[::sub])
-                kls[2, ei] = KLdivergence(prior[::sub], post_grat[::sub])
-            kls_seed.append(kls)
-        kls_np = np.stack(kls_seed, axis=2)
+                kls_np[0, ei, si] = KLdivergence(prior[::sub], chains[1][si, ::sub])
+                kls_np[1, ei, si] = KLdivergence(prior[::sub], chains[2][si, ::sub])
+                kls_np[2, ei, si] = KLdivergence(prior[::sub], chains[3][si, ::sub])
     else:
         kls_np = data
 

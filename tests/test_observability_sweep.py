@@ -105,3 +105,73 @@ def test_stack_pytrees():
     out = stack_pytrees(trees)
     assert out["a"].shape == (4, 2)
     assert float(out["a"][2, 0]) == 2.0
+
+
+def test_sweep_warm_langevin_chains_matches_sequential():
+    """The figure-5 sweep helper (PC warm start + Langevin chain with xs
+    capture, seeds as a vmapped axis) equals the per-seed sequential engine
+    flow given identical keys (VERDICT r1 item 7)."""
+    from montecarlopredictivecoding_tpu.parallel.sweep import (
+        sweep_warm_langevin_chains,
+    )
+
+    config = {
+        "input_size": 3, "hidden_size": 4, "hidden2_size": 4,
+        "output_size": 6, "loss_fn": mcpc.bernoulli_fn,
+        "activation_fn": "relu", "input_var": None,
+        "T_pc": 8, "optimizer_x_fn_pc": "adam",
+        "optimizer_x_kwargs_pc": {"lr": 0.1},
+        "mixing": 3, "sampling": 7,
+        "optimizer_x_kwargs_mcpc": {"lr": 0.05},
+    }
+    model = mcpc.make_mlp_model(3, 4, 4, 6)
+    S, B = 2, 4
+    params_list = [model.init(jax.random.PRNGKey(i)) for i in range(S)]
+    inputs = jnp.zeros((B, 3))
+    target = (jax.random.uniform(jax.random.PRNGKey(9), (B, 6)) > 0.5).astype(
+        jnp.float32
+    )
+    key = jax.random.PRNGKey(42)
+    stride = 2
+
+    xs_sweep = sweep_warm_langevin_chains(
+        model, params_list, config, target, inputs, key, stride=stride
+    )
+
+    # sequential replication with the same per-seed key stream
+    keys = jax.random.split(key, 2 * S)
+    cfg_pc = EngineConfig(
+        plan=build_plan(config["T_pc"], "all", "never"),
+        optimizer_x=OptimizerSpec("adam", lr=0.1),
+        optimizer_p=None, loss_fn=mcpc.bernoulli_fn, capture_every_t=False,
+    )
+    T_mc = config["mixing"] + config["sampling"]
+    cfg_mc = EngineConfig(
+        plan=build_plan(T_mc, "all", "never"),
+        optimizer_x=OptimizerSpec("sgd", lr=0.05),
+        optimizer_p=None, langevin_var=2.0, loss_fn=mcpc.bernoulli_fn,
+        capture_every_t=True, capture_xs=True, capture_stride=stride,
+    )
+    warm_fn = jax.jit(build_train_on_batch(model, cfg_pc))
+    chain_fn = jax.jit(build_train_on_batch(model, cfg_mc))
+    kwargs = {"_target": target}
+    for s in range(S):
+        latents = model.init_latents(params_list[s], inputs, keys[s])
+        st = EngineState(
+            params=params_list[s], latents=latents,
+            opt_x_state=cfg_pc.optimizer_x.make().init({"latents": latents}),
+            opt_p_state=None, lr_scale=jnp.ones(()), key=keys[S + s],
+        )
+        st, _ = warm_fn(st, inputs, kwargs)
+        st = EngineState(
+            params=st.params, latents=st.latents,
+            opt_x_state=cfg_mc.optimizer_x.make().init({"latents": st.latents}),
+            opt_p_state=None, lr_scale=jnp.ones(()),
+            key=jax.random.fold_in(st.key, 1),
+        )
+        _, res = chain_fn(st, inputs, kwargs)
+        for li in range(3):
+            np.testing.assert_allclose(
+                np.asarray(xs_sweep[li][s]), np.asarray(res["xs"][li]),
+                atol=2e-5,
+            )
