@@ -1,6 +1,6 @@
 """Benchmark: MCPC Langevin inference steps/sec/chip on the MNIST MLP.
 
-Workload — the reference's posterior-inference chain at full scale
+Headline workload — the reference's posterior-inference chain at full scale
 (figure_2.py:167-173: 1000 mixing + 9000 sampling Langevin steps): generative
 MLP 20-128-128-784, batch 256 chains, Bernoulli sensory loss, plain-SGD
 Langevin steps (grad + N(0, 2*lr) noise) — identical math to the reference's
@@ -14,10 +14,15 @@ Baseline: the reference PyTorch implementation on CPU measured with
 benchmarks/measure_reference.py on this machine (147.6 steps/sec at batch
 256).  vs_baseline = our steps/sec / reference steps/sec.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
+The extended report — fused TRAIN-step throughput (Adam warm start + chain +
+Monte-Carlo parameter grads in one dispatch), the batch-scaling curve
+(f32/bf16), achieved TFLOP/s and MFU — is written to BENCH_DETAIL.md and
+echoed to stderr.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -31,34 +36,99 @@ REFERENCE_CPU_STEPS_PER_SEC = 147.6
 
 BATCH = 256
 T = 10000  # reference posterior-inference chain length (figure_2.py:171-172)
+DIMS = (20, 128, 128, 784)
+XW = DIMS[0] + DIMS[1] + DIMS[2]          # packed latent width
+OW = DIMS[1] + DIMS[2] + DIMS[3]          # packed output width
+# v5e single-chip peak (bf16 MXU); f32 MFU is reported against the same
+# number, i.e. as "fraction of the chip's matmul ceiling"
+PEAK_FLOPS = 197e12
+
+
+def _log(line: str, lines: list):
+    print(line, file=sys.stderr)
+    lines.append(line)
+
+
+def _median_time(fn, reps=5):
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        v = fn(2 + i)
+        times.append(time.perf_counter() - t0)
+        assert all(x == x for x in v), "non-finite output"
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main():
     import montecarlopredictivecoding_tpu as mcpc
     from montecarlopredictivecoding_tpu.ops import mcpc_chain_pallas
 
-    model = mcpc.make_mlp_model(20, 128, 128, 784)
+    model = mcpc.make_mlp_model(*DIMS)
     key = jax.random.PRNGKey(0)
     params = model.init(key)
-    inputs = jnp.zeros((BATCH, 20))
-    latents = model.init_latents(params, inputs, key)
-    target = (jax.random.uniform(key, (BATCH, 784)) > 0.5).astype(jnp.float32)
 
-    def run_kernel(seed):
-        out, _ = mcpc_chain_pallas(
-            params, latents, target, jnp.int32(seed),
-            T=T, lr=0.01, noise_var=2.0, loss="bernoulli", packed=True,
+    def make_inputs(batch):
+        inputs = jnp.zeros((batch, DIMS[0]))
+        latents = model.init_latents(params, inputs, key)
+        target = (jax.random.uniform(key, (batch, DIMS[3])) > 0.5).astype(
+            jnp.float32
         )
-        # forced readback: the only reliable sync on the tunneled platform
-        return float(out[0][0, 0]), float(out[2][0, 0])
+        return latents, target
 
-    def make_engine_run():
+    def make_chain(batch, bf16=False):
+        latents, target = make_inputs(batch)
+
+        def run(seed):
+            out, _ = mcpc_chain_pallas(
+                params, latents, target, jnp.int32(seed),
+                T=T, lr=0.01, noise_var=2.0, loss="bernoulli", packed=True,
+                bf16_matmul=bf16,
+            )
+            # forced readback: the only reliable sync on the tunneled platform
+            return (float(out[0][0, 0]), float(out[2][0, 0]))
+
+        return run
+
+    def make_train_step(batch, warm_T=250, mixing=50, sampling=100, bf16=False):
+        """The fused TRAIN step (experiments/train_mnist.py fused path):
+        Adam MAP warm start + Langevin chain + Monte-Carlo pgrads, one
+        dispatch."""
+        latents, target = make_inputs(batch)
+
+        def run(seed):
+            _, pg = mcpc_chain_pallas(
+                params, latents, target, jnp.int32(seed),
+                T=mixing + sampling, lr=0.1, noise_var=2.0, loss="bernoulli",
+                mixing=mixing, with_pgrads=True,
+                warm_T=warm_T, warm_lr=0.7, bf16_matmul=bf16,
+            )
+            return (float(pg[3]["w"][0, 0]),)
+
+        return run
+
+    detail = []
+    _log("# BENCH_DETAIL — fused-kernel benchmark (single chip)", detail)
+    _log("", detail)
+    _log(f"Model {DIMS}, packed widths xw={XW} ow={OW}; median of 5, timing", detail)
+    _log("includes dispatch + host readback over the tunneled chip.", detail)
+    _log("", detail)
+
+    # ---- headline: inference chain at B=256, f32 ---------------------------
+    try:
+        run = make_chain(BATCH)
+        run(1)  # compile
+        dt = _median_time(run)
+        engine_fallback = False
+    except Exception as e:  # kernel unavailable on this platform
+        _log(f"kernel path failed ({type(e).__name__}: {e}); engine fallback", detail)
         from montecarlopredictivecoding_tpu.core.engine import (
             EngineConfig, EngineState, build_train_on_batch,
         )
         from montecarlopredictivecoding_tpu.core.optim import OptimizerSpec
         from montecarlopredictivecoding_tpu.core.schedule import build_plan
 
+        latents, target = make_inputs(BATCH)
         cfg = EngineConfig(
             plan=build_plan(T, update_x_at="all", update_p_at="never"),
             optimizer_x=OptimizerSpec("sgd", lr=0.01),
@@ -74,31 +144,91 @@ def main():
                 opt_p_state=None, lr_scale=jnp.ones(()),
                 key=jax.random.PRNGKey(seed),
             )
-            ns, res = fn(st, inputs, {"_target": target})
-            return float(res["overall"][-1]), float(ns.latents[0][0, 0])
+            ns, res = fn(st, jnp.zeros((BATCH, DIMS[0])), {"_target": target})
+            return (float(res["overall"][-1]), float(ns.latents[0][0, 0]))
 
-        return run
-
-    # compile + warm up; fall back to the scan engine if the fused kernel
-    # cannot compile on this platform
-    run = run_kernel
-    try:
-        v = run(1)
-    except Exception:
-        run = make_engine_run()
-        v = run(1)
-    assert all(x == x for x in v), "non-finite latents"
-
-    times = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        v = run(2 + i)
-        times.append(time.perf_counter() - t0)
-        assert all(x == x for x in v), "non-finite latents"
-    times.sort()
-    dt = times[len(times) // 2]
+        run(1)
+        dt = _median_time(run)
+        engine_fallback = True
 
     steps_per_sec = T / dt
+    # inference chain: 2 packed matmuls/step (forward + backward)
+    chain_flops = T * 2 * 2.0 * BATCH * XW * OW
+    _log("## Headline — Langevin inference chain (B=256, T=10000, f32)", detail)
+    _log("", detail)
+    _log(f"- {steps_per_sec:,.1f} steps/s ({dt * 1e3:.1f} ms/chain, "
+         f"{dt / T * 1e6:.2f} us/step)", detail)
+    _log(f"- {chain_flops / dt / 1e12:.2f} TFLOP/s achieved = "
+         f"{chain_flops / dt / PEAK_FLOPS * 100:.1f}% MFU (vs bf16 peak)", detail)
+    _log(f"- engine fallback: {engine_fallback}", detail)
+    _log("", detail)
+
+    if not engine_fallback:
+        # ---- fused train step ------------------------------------------------
+        warm_T, mixing, sampling = 250, 50, 100
+        T_tr = mixing + sampling
+        _log("## Fused train step (Adam warm 250 + chain 150 + MC pgrads)", detail)
+        _log("", detail)
+        for batch, bf16 in ((256, False), (1024, False), (1024, True)):
+            try:
+                run = make_train_step(batch, warm_T, mixing, sampling, bf16)
+                run(1)
+                dt = _median_time(run)
+            except Exception as e:
+                _log(f"- B={batch} {'bf16' if bf16 else 'f32 '}: failed "
+                     f"({type(e).__name__})", detail)
+                continue
+            total_steps = warm_T + T_tr
+            # warm: 2 mm/step; chain: 2 mm/step + 1 pgrad mm in the window
+            flops = (
+                (warm_T + T_tr) * 2 + sampling * 1
+            ) * 2.0 * batch * XW * OW
+            _log(
+                f"- B={batch} {'bf16' if bf16 else 'f32 '}: "
+                f"{1.0 / dt:,.1f} train-batches/s, "
+                f"{batch / dt:,.0f} images/s, "
+                f"{total_steps / dt:,.0f} inference-steps/s, "
+                f"{flops / dt / 1e12:.2f} TFLOP/s "
+                f"({flops / dt / PEAK_FLOPS * 100:.1f}% MFU)",
+                detail,
+            )
+        _log("", detail)
+
+        # ---- batch-scaling curve (inference chain) --------------------------
+        _log("## Batch scaling — inference chain (T=10000)", detail)
+        _log("", detail)
+        _log("| batch | precision | steps/s | chain-sample-steps/s | TFLOP/s | MFU |", detail)
+        _log("|---|---|---|---|---|---|", detail)
+        for batch in (256, 1024, 4096):
+            for bf16 in (False, True):
+                try:
+                    run = make_chain(batch, bf16)
+                    run(1)
+                    dt = _median_time(run)
+                except Exception as e:
+                    _log(f"| {batch} | {'bf16' if bf16 else 'f32'} | failed "
+                         f"({type(e).__name__}) | | | |", detail)
+                    continue
+                flops = T * 2 * 2.0 * batch * XW * OW
+                _log(
+                    f"| {batch} | {'bf16' if bf16 else 'f32'} "
+                    f"| {T / dt:,.0f} | {batch * T / dt:,.0f} "
+                    f"| {flops / dt / 1e12:.2f} "
+                    f"| {flops / dt / PEAK_FLOPS * 100:.1f}% |",
+                    detail,
+                )
+        _log("", detail)
+        _log("Roofline note: at B=256 the chain is dispatch-latency-bound", detail)
+        _log("(~4 us/step floor, serial step dependency); MFU climbs with", detail)
+        _log("batch as the packed matmuls fill the MXU — batches beyond one", detail)
+        _log("VMEM tile grid-tile over the batch dimension.", detail)
+
+    try:
+        with open("BENCH_DETAIL.md", "w") as f:
+            f.write("\n".join(detail) + "\n")
+    except OSError:
+        pass
+
     print(
         json.dumps(
             {
