@@ -327,4 +327,10 @@ if __name__ == "__main__":
     args = standard_parser(__doc__).parse_args()
     ctx = context_from_args(args)
     variability_quenching(ctx)
-    similarity_increase(ctx, seeds=range(3))
+    if args.full:
+        # full developmental study: every seed, every shipped epoch snapshot
+        # (the reference's models/epoch_save axis runs to epoch 35,
+        # figure_5.py:74,92-93 assets)
+        similarity_increase(ctx, seeds=range(10), epochs=(0, 5, 10, 15, 30, 35))
+    else:
+        similarity_increase(ctx, seeds=range(3))
