@@ -302,8 +302,13 @@ class PCTrainer:
             return None
         if cfg.loss_x_fn is not None or cfg.loss_inputs_fn is not None or is_optimize_inputs:
             return None
-        wants_traj = cfg.capture_representations or cfg.capture_xs
-        if cfg.capture_outputs or cfg.capture_overall_elementwise:
+        # 'outputs' captures are served from the latent trajectory
+        # (outputs_t = act(x2_t) @ W3 + b3, the same pre-update forward the
+        # engine records)
+        wants_traj = (
+            cfg.capture_representations or cfg.capture_xs or cfg.capture_outputs
+        )
+        if cfg.capture_overall_elementwise:
             return None
         if wants_traj and not self.use_pallas_capture:
             return None
@@ -335,6 +340,7 @@ class PCTrainer:
                 "capture_stride": max(int(cfg.capture_stride), 1),
                 "capture_xs": cfg.capture_xs,
                 "capture_representations": cfg.capture_representations,
+                "capture_outputs": cfg.capture_outputs,
             }
         base = {"loss": loss_name, "mode": mode, "activation": activation}
         if not plan.update_p_at:
@@ -403,6 +409,8 @@ class PCTrainer:
         else:
             new_latents, pgrads, scalars = outs
             traj = None
+        # the params in force DURING the chain (captures are pre-update)
+        chain_last_linear = gen.params[-1]
         gen.latents = new_latents
         if dispatch["with_pgrads"] and self.opt_p_spec is not None:
             import optax
@@ -444,6 +452,19 @@ class PCTrainer:
                 )
             if dispatch.get("capture_representations"):
                 results["representations"] = traj[:, :, : dims[cfg.rep_index]]
+            if dispatch.get("capture_outputs"):
+                # outputs_t = act(x2_t) @ W3 + b3 — the same pre-update
+                # forward the engine records (the trajectory holds the
+                # pre-update latents at each captured step)
+                x2 = traj[:, :, dims[0] + dims[1] :]
+                h2 = (
+                    jnp.maximum(x2, 0.0)
+                    if dispatch["activation"] == "relu"
+                    else jnp.tanh(x2)
+                )
+                results["outputs"] = (
+                    h2 @ chain_last_linear["w"] + chain_last_linear["b"]
+                )
         return results
 
     # -- core entry point -------------------------------------------------------

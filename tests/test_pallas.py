@@ -513,3 +513,33 @@ def test_trainer_tanh_mse_preset_takes_kernel_path(tanh_setup):
         outs[mode] = gen.latents
     for a, b in zip(outs["engine"], outs["pallas"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_trainer_outputs_capture_from_trajectory(setup):
+    """is_return_outputs on the kernel path is served from the latent
+    trajectory (outputs_t = act(x2_t) @ W3 + b3) and equals the engine's
+    captured outputs (the figure_3 generation workload)."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(13)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+
+    outs = {}
+    for mode in ("engine", "pallas"):
+        gen = mcpc.GenerativeModel(model, key=9)
+        tr = mcpc.PCTrainer(
+            gen, T=12, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.02},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        tr.use_pallas = mode == "pallas"
+        tr.use_pallas_capture = True
+        res = tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn,
+            loss_fn_kwargs={"_target": target},
+            is_return_outputs=True, capture_stride=3,
+            key=jax.random.PRNGKey(10),
+        )
+        outs[mode] = np.asarray(res["outputs"])
+    assert outs["pallas"].shape == (4, B, 16)
+    np.testing.assert_allclose(outs["pallas"], outs["engine"], atol=3e-5)
