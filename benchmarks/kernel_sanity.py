@@ -1,0 +1,86 @@
+"""Hardware sanity for the round-2 kernel features — real Mosaic compiles
+(no interpret mode): tanh activation, batch grid-tiling, scalar emission,
+warm-phase pgrads, trajectory capture with tiling.  Run on the TPU before
+long jobs depend on these paths.
+
+Run: python benchmarks/kernel_sanity.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+import montecarlopredictivecoding_tpu as mcpc
+from montecarlopredictivecoding_tpu.ops import mcpc_chain_pallas
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    key = jax.random.PRNGKey(0)
+
+    def setup(activation="relu", B=64, dims=(20, 128, 128, 784)):
+        model = mcpc.make_mlp_model(*dims, activation=activation)
+        params = model.init(key)
+        latents = model.init_latents(params, jnp.zeros((B, dims[0])), key)
+        target = (jax.random.uniform(key, (B, dims[-1])) > 0.5).astype(
+            jnp.float32
+        )
+        return params, latents, target
+
+    # 1) tanh chain + pgrads + scalars
+    params, latents, target = setup("tanh")
+    lat, pg, scal = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(1), T=50, lr=0.02, noise_var=2.0,
+        loss="bernoulli", mixing=10, with_pgrads=True, activation="tanh",
+        return_scalars=True,
+    )
+    assert np.isfinite(float(scal["loss"][-1])), scal
+    assert np.isfinite(float(pg[3]["w"][0, 0]))
+    print("tanh chain + scalars OK:", float(scal["loss"][-1]))
+
+    # 2) batch tiling (B=2048 -> 2 tiles of 1024) + capture + scalars
+    params, latents, target = setup("relu", B=2048)
+    lat, pg, traj, scal = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(2), T=30, lr=0.02, noise_var=2.0,
+        loss="bernoulli", mixing=10, with_pgrads=True, capture_stride=10,
+        return_scalars=True,
+    )
+    assert traj.shape == (3, 2048, 276), traj.shape
+    assert np.isfinite(np.asarray(traj).sum())
+    # the two tiles must hold DIFFERENT noise streams
+    assert not np.allclose(np.asarray(lat[1][:4]), np.asarray(lat[1][1024:1028]))
+    print("batch tiling + capture OK:", traj.shape, float(scal["energy"][-1]))
+
+    # 3) warm-phase pgrads (one-dispatch PC training step) + tiled noise-free
+    params, latents, target = setup("relu", B=256)
+    lat, pg, scal = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(3), T=0, lr=0.1, noise_var=None,
+        loss="bernoulli", with_pgrads=True, warm_T=50, warm_lr=0.1,
+        warm_pgrads=True, return_scalars=True,
+    )
+    assert np.isfinite(float(pg[3]["w"][0, 0]))
+    print("warm pgrads OK:", float(scal["overall"][-1]) if "overall" in scal
+          else float(scal["loss"][-1] + scal["energy"][-1]))
+
+    # 4) bf16 matmuls
+    params, latents, target = setup("relu", B=1024)
+    lat, _ = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(4), T=30, lr=0.02, noise_var=2.0,
+        loss="bernoulli", bf16_matmul=True,
+    )
+    assert np.isfinite(float(lat[0][0, 0]))
+    print("bf16 OK")
+
+    print("KERNEL_SANITY_PASS")
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,8 @@
 #  4. run the benchmark (headline JSON + BENCH_DETAIL.md)
 cd "$(dirname "$0")/.."
 set -e
+python benchmarks/kernel_sanity.py
+echo KERNEL_SANITY_DONE
 for s in 1 2 3; do
   python -m montecarlopredictivecoding_tpu.experiments.train_mnist \
     --model pc --preset ml --epochs 10 --seed $s --out models/pc_ml_$s
