@@ -184,11 +184,12 @@ class PCTrainer:
         # 'auto': use the fused Pallas chain kernel on TPU when the config
         # maps onto it (see _pallas_eligible); True/False force/disable.
         self.use_pallas: tp.Union[str, bool] = "auto"
-        # opt-in: let the kernel serve capture requests (xs/representations)
-        # via its HBM trajectory DMA. Per-step loss/energy scalars are then
-        # final-state only (shape [1]) — callers that consume trajectories,
-        # not scalar traces, set this for full kernel speed.
-        self.use_pallas_capture: bool = False
+        # let the kernel serve capture requests (xs/representations/outputs)
+        # via its HBM trajectory DMA; per-captured-step loss/energy scalars
+        # are emitted with the engine's pre-update convention, so the capture
+        # path is results-compatible with the engine (set False to force the
+        # scan engine for captures).
+        self.use_pallas_capture: bool = True
         # 'auto': run the kernel's MXU matmuls in bfloat16 (f32 accumulate,
         # f32 state) once the batch is wide enough to be compute-bound;
         # True/False force/disable.
