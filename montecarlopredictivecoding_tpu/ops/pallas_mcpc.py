@@ -90,6 +90,14 @@ def supports_model(model: PCModel, activation: tp.Optional[str] = None) -> bool:
     )
 
 
+# Scoped-VMEM ceiling for the chain kernel.  The Mosaic default (16 MiB)
+# is sized for kernels that share the core; this kernel owns the chip for
+# the whole chain, so let it use most of the v5e's 128 MiB — the fully
+# loaded capture+pgrads+scalars variant needs ~16.5 MiB at tile 1024 on
+# the fid architecture and ~2x that on the wider mse architecture.
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
 def _pick_batch_tile(B: int, cap: int = 1024) -> int:
     """Largest divisor of B that fits one VMEM-resident tile (<= cap)."""
     if B <= cap:
@@ -595,6 +603,9 @@ def mcpc_chain_pallas(
             + [row_block(xw), row_block(D)],
             out_specs=out_specs,
             scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES
+            ),
             interpret=interpret,
         )(
             jnp.asarray(seed, dtype=jnp.int32).reshape(1),
@@ -660,6 +671,9 @@ def mcpc_chain_pallas(
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * (n_in - 1),
         out_specs=[vmem] * len(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(
         jnp.asarray(seed, dtype=jnp.int32).reshape(1),
