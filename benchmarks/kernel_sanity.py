@@ -46,8 +46,13 @@ def main():
     assert np.isfinite(float(pg[3]["w"][0, 0]))
     print("tanh chain + scalars OK:", float(scal["loss"][-1]))
 
-    # 2) batch tiling (B=2048 -> 2 tiles of 1024) + capture + scalars
+    # 2) batch tiling (B=2048 -> 2 tiles of 1024) + capture + scalars.
+    # The two tile-halves start from IDENTICAL latents and targets, so any
+    # difference after the noisy chain can only come from per-tile PRNG
+    # decorrelation (rows would be bitwise-equal if tiles reused a stream).
     params, latents, target = setup("relu", B=2048)
+    latents = tuple(jnp.tile(x[:1024], (2, 1)) for x in latents)
+    target = jnp.tile(target[:1024], (2, 1))
     lat, pg, traj, scal = mcpc_chain_pallas(
         params, latents, target, jnp.int32(2), T=30, lr=0.02, noise_var=2.0,
         loss="bernoulli", mixing=10, with_pgrads=True, capture_stride=10,

@@ -50,6 +50,30 @@ def _static_loss_partial(loss_fn, static_items: tuple):
     return functools.partial(loss_fn, **dict(static_items))
 
 
+def _last_only_results(results: dict) -> dict:
+    """``is_return_results_every_t=False`` post-processing (reference
+    pc_trainer.py:684-694): keep only the last time step of every
+    time-leading result.  Applied identically to the engine and kernel
+    paths so the two are results-compatible."""
+
+    def last_only(v):
+        if isinstance(v, tuple):
+            return tuple(last_only(x) for x in v)
+        if hasattr(v, "ndim") and v.ndim >= 1:
+            return v[-1:]
+        return v
+
+    # 'optimized_inputs' is [B, D] (batch-leading, not time-leading,
+    # reference pc_trainer.py:754-759) — slicing it to [-1:] would
+    # silently drop all but the last datapoint.
+    not_time_leading = {
+        k: results.pop(k) for k in ("optimized_inputs",) if k in results
+    }
+    results = {k: last_only(v) for k, v in results.items()}
+    results.update(not_time_leading)
+    return results
+
+
 class GenerativeModel:
     """Holds a PCModel spec plus its explicit state (params, latents, PRNG).
 
@@ -264,7 +288,8 @@ class PCTrainer:
     # -- fused-kernel fast path ---------------------------------------------------
 
     def _pallas_eligible(
-        self, cfg: EngineConfig, loss_fn, is_optimize_inputs, langevin_var
+        self, cfg: EngineConfig, loss_fn, is_optimize_inputs, langevin_var,
+        batch_size: int,
     ):
         """The fused whole-chain kernel (ops/pallas_mcpc.py) covers the hot
         configurations over the canonical relu/tanh MLP:
@@ -286,6 +311,12 @@ class PCTrainer:
             return None
         activation = model_activation(self.gen.model)
         if activation is None or not supports_model(self.gen.model, activation):
+            return None
+        from ..ops.pallas_mcpc import _pick_batch_tile
+
+        if batch_size > 1024 and _pick_batch_tile(batch_size) < 128:
+            # no VMEM-tile divisor: the grid would serialize the chain ~B
+            # times — the scan engine handles awkward batches in one pass
             return None
         if self.opt_x_spec.name == "sgd" and not self.opt_x_spec.momentum:
             mode = "langevin"
@@ -369,7 +400,11 @@ class PCTrainer:
         stride = dispatch.get("capture_stride", 0)
         on_tpu = jax.default_backend() == "tpu"
         if dispatch["mode"] == "warm":
-            # full-chain Adam MAP descent (+ optional last-step pgrads)
+            # full-chain Adam MAP descent (+ optional last-step pgrads); the
+            # final Adam moments come back so continuation calls (no
+            # resample) hand the engine a live optimizer-x state, matching
+            # the reference's persistent optimizer object
+            # (pc_trainer.py:741-752)
             phase = dict(
                 T=0,
                 lr=self.opt_x_spec.lr,
@@ -380,6 +415,7 @@ class PCTrainer:
                 warm_b2=self.opt_x_spec.betas[1],
                 warm_eps=self.opt_x_spec.eps,
                 warm_pgrads=dispatch["with_pgrads"],
+                emit_warm_opt_state=True,
             )
         else:
             phase = dict(T=self.T, lr=self.opt_x_spec.lr, noise_var=langevin_var)
@@ -405,14 +441,40 @@ class PCTrainer:
             interpret=not on_tpu,
             **phase,
         )
+        outs = list(outs)
+        new_latents, pgrads = outs[0], outs[1]
+        k = 2
+        traj = None
         if stride:
-            new_latents, pgrads, traj, scalars = outs
-        else:
-            new_latents, pgrads, scalars = outs
-            traj = None
+            traj = outs[k]
+            k += 1
+        scalars = outs[k]
+        k += 1
+        warm_mv = outs[k] if dispatch["mode"] == "warm" else None
         # the params in force DURING the chain (captures are pre-update)
         chain_last_linear = gen.params[-1]
         gen.latents = new_latents
+        if warm_mv is not None:
+            import optax
+
+            d0 = gen.model.modules[gen.model.linear_indices[0]].out_dim
+            d1 = gen.model.modules[gen.model.linear_indices[1]].out_dim
+
+            def split(packed):
+                return (
+                    packed[:, :d0],
+                    packed[:, d0 : d0 + d1],
+                    packed[:, d0 + d1 :],
+                )
+
+            self._opt_x_state = (
+                optax.ScaleByAdamState(
+                    count=jnp.asarray(self.T, jnp.int32),
+                    mu={"latents": split(warm_mv[0])},
+                    nu={"latents": split(warm_mv[1])},
+                ),
+                optax.EmptyState(),
+            )
         if dispatch["with_pgrads"] and self.opt_p_spec is not None:
             import optax
 
@@ -452,7 +514,11 @@ class PCTrainer:
                     traj[:, :, offs[i] : offs[i + 1]] for i in range(3)
                 )
             if dispatch.get("capture_representations"):
-                results["representations"] = traj[:, :, : dims[cfg.rep_index]]
+                offs = [0, dims[0], dims[0] + dims[1], sum(dims)]
+                ri = cfg.rep_index
+                results["representations"] = traj[
+                    :, :, offs[ri] : offs[ri] + dims[ri]
+                ]
             if dispatch.get("capture_outputs"):
                 # outputs_t = act(x2_t) @ W3 + b3 — the same pre-update
                 # forward the engine records (the trajectory holds the
@@ -570,17 +636,20 @@ class PCTrainer:
             capture_stride=int(capture_stride),
         )
         dispatch = self._pallas_eligible(
-            cfg, loss_fn, is_optimize_inputs, langevin_var
+            cfg, loss_fn, is_optimize_inputs, langevin_var, inputs.shape[0]
         )
         if dispatch is not None and any(
             k.startswith("energy__") for k in loss_fn_kwargs
         ):
             dispatch = None  # extra energy inputs aren't kernel-representable
         if dispatch is not None:
-            return self._run_pallas(
+            results = self._run_pallas(
                 dispatch, cfg, inputs, loss_fn_kwargs, langevin_var,
                 key if key is not None else gen.next_key(),
             )
+            if not is_return_results_every_t:
+                results = _last_only_results(results)
+            return results
 
         fn = self._get_fn(cfg)
 
@@ -610,21 +679,5 @@ class PCTrainer:
         self._lr_scale = new_state.lr_scale
 
         if not is_return_results_every_t:
-            def last_only(v):
-                if isinstance(v, tuple):
-                    return tuple(last_only(x) for x in v)
-                if hasattr(v, "ndim") and v.ndim >= 1:
-                    return v[-1:]
-                return v
-
-            # 'optimized_inputs' is [B, D] (batch-leading, not time-leading,
-            # reference pc_trainer.py:754-759) — slicing it to [-1:] would
-            # silently drop all but the last datapoint.
-            not_time_leading = {
-                k: results.pop(k)
-                for k in ("optimized_inputs",)
-                if k in results
-            }
-            results = {k: last_only(v) for k, v in results.items()}
-            results.update(not_time_leading)
+            results = _last_only_results(results)
         return results

@@ -108,6 +108,45 @@ def _pick_batch_tile(B: int, cap: int = 1024) -> int:
     return B
 
 
+def _traj_scalar_rows(traj, params_flat, target, dims, activation, loss,
+                      inv_var):
+    """Pre-update loss/energy sums for each captured step, recomputed from
+    the packed latent trajectory (the same forward the engine runs per step,
+    pc_trainer.py:777-795).  ``traj`` is [n_cap, B, d0+d1+d2];
+    ``params_flat`` = (b0, w1, b1, w2, b2, w3, b3).  Returns
+    ([n_cap] loss, [n_cap] energy)."""
+    b0, w1, b1, w2, b2, w3, b3 = params_flat
+    d0, d1, d2, D = dims
+    x0 = traj[:, :, 0:d0]
+    x1 = traj[:, :, d0 : d0 + d1]
+    x2 = traj[:, :, d0 + d1 :]
+    act = (lambda v: jnp.maximum(v, 0.0)) if activation == "relu" else jnp.tanh
+    err0 = x0 - b0
+    err1 = x1 - (act(x0) @ w1 + b1)
+    err2 = x2 - (act(x1) @ w2 + b2)
+    logits = act(x2) @ w3 + b3
+    energy = 0.5 * (
+        jnp.sum(err0 * err0, axis=(1, 2))
+        + jnp.sum(err1 * err1, axis=(1, 2))
+        + jnp.sum(err2 * err2, axis=(1, 2))
+    )
+    if loss == "bernoulli":
+        y = target[None, :, :]
+        loss_v = jnp.sum(
+            jnp.maximum(logits, 0.0)
+            - logits * y
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))),
+            axis=(1, 2),
+        )
+    elif loss == "gaussian":
+        loss_v = 0.5 * inv_var * jnp.sum(
+            (logits - target[None, :, :]) ** 2, axis=(1, 2)
+        )
+    else:
+        loss_v = jnp.zeros(traj.shape[0], jnp.float32)
+    return loss_v, energy
+
+
 def _normals(shape):
     """Standard normals via Box-Muller over on-core random bits, using both
     the cos and sin branches so each (log, sqrt) pair yields two normals."""
@@ -132,7 +171,8 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         capture_stride: int = 0,
                         activation: str = "relu",
                         warm_pgrads: bool = False,
-                        n_scal_rows: int = 0,
+                        emit_scalars: bool = False,
+                        emit_warm_opt_state: bool = False,
                         tile_B: int = 0):
     """Packed variant: one block-diagonal matmul per direction per step.
 
@@ -148,7 +188,6 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
     xw = d0 + d1 + d2            # total latent width
     o1_, o2_, o3_ = 0, d1, d1 + d2  # column offsets of mu1/mu2/logits
     ow = d1 + d2 + D
-    emit_scalars = n_scal_rows > 0
     xw_pad = -(-xw // 128) * 128
 
     def kernel(
@@ -157,16 +196,20 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
         x_in,  # packed latents tile [tile_B, xw]
         y,  # target tile [tile_B, D]
         x_out,  # packed latents out tile
-        *rest,  # outputs: [gw_full, gb_cat, gb0] when with_pgrads, then
-                # [scal] when n_scal_rows > 0, then [traj (HBM)] when
-                # capture_stride > 0; scratch: [cap_buf, dma_sem]
+        *rest,  # outputs: [m_out, v_out] when emit_warm_opt_state, then
+                # [gw_full, gb_cat, gb0] when with_pgrads, then [scal] when
+                # emit_scalars, then [traj (HBM)] when capture_stride > 0;
+                # scratch: [cap_buf, dma_sem]
     ):
         k = 0
+        if emit_warm_opt_state:
+            m_out, v_out = rest[0:2]  # final Adam moments [tile_B, xw]
+            k = 2
         if with_pgrads:
-            gw_full, gb_cat, gb0 = rest[0:3]
-            k = 3
+            gw_full, gb_cat, gb0 = rest[k : k + 3]
+            k += 3
         if emit_scalars:
-            scal = rest[k]  # VMEM [n_scal_rows, 128]
+            scal = rest[k]  # VMEM [1, 128]: final-step pre-update loss/energy
             k += 1
         if capture_stride > 0:
             traj_ref = rest[k]       # HBM [n_cap, B, xw_pad]
@@ -236,7 +279,10 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             """[1, 128] row: lane 0 = sensory loss, lane 1 = layer energy —
             both batch-tile sums (accumulated across tiles), computed from
             the PRE-update state (the engine/reference scalar convention,
-            pc_trainer.py:777-795)."""
+            pc_trainer.py:777-795).  Only the FINAL step's row is emitted
+            from the kernel; per-captured-step scalars are recomputed from
+            the HBM trajectory outside the kernel (mcpc_chain_pallas), which
+            keeps the hot loop free of the O(n_cap) masked accumulator."""
             energy_s = 0.5 * jnp.sum(err_cat * err_cat)
             if loss == "bernoulli":
                 loss_s = jnp.sum(
@@ -285,9 +331,7 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         # from the warm phase's final step
                         @pl.when(t == warm_T - 1)
                         def _():
-                            scal[n_scal_rows - 1 : n_scal_rows, :] += (
-                                scal_row(err_cat, logits)
-                            )
+                            scal[...] += scal_row(err_cat, logits)
                     m = wb1 * m_ref[...] + (1.0 - wb1) * G
                     v = wb2 * v_ref[...] + (1.0 - wb2) * G * G
                     m_ref[...] = m
@@ -301,6 +345,13 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                     0, warm_T, warm_step,
                     (jnp.float32(wb1), jnp.float32(wb2)),
                 )
+                if emit_warm_opt_state:
+                    # final Adam moments, so the trainer can hand the
+                    # optimizer-x state to the engine for continuation calls
+                    # (reference semantics: the optimizer object persists
+                    # across train_on_batch calls, pc_trainer.py:741-752)
+                    m_out[...] = m_ref[...]
+                    v_out[...] = v_ref[...]
 
             # -- Langevin phase ---------------------------------------------
             def step(t, _):
@@ -325,23 +376,10 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
 
                 G, V, H, err0, err_cat, logits = grads_and_V(X)
 
-                if emit_scalars and capture_stride > 0:
-                    @pl.when(t % capture_stride == 0)
-                    def _():
-                        slot = t // capture_stride
-                        rows = jax.lax.broadcasted_iota(
-                            jnp.int32, (n_scal_rows, 1), 0
-                        )
-                        scal[...] += (
-                            jnp.where(rows == slot, 1.0, 0.0)
-                            * scal_row(err_cat, logits)
-                        )
                 if emit_scalars:
                     @pl.when(t == T - 1)
                     def _():
-                        scal[n_scal_rows - 1 : n_scal_rows, :] += (
-                            scal_row(err_cat, logits)
-                        )
+                        scal[...] += scal_row(err_cat, logits)
 
                 if with_pgrads:
                     @pl.when(t >= mixing)
@@ -471,7 +509,7 @@ def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
         "with_pgrads", "interpret", "bf16_matmul", "packed",
         "warm_T", "warm_lr", "warm_b1", "warm_b2", "warm_eps",
         "capture_stride", "activation", "warm_pgrads", "return_scalars",
-        "batch_tile",
+        "batch_tile", "emit_warm_opt_state",
     ),
 )
 def mcpc_chain_pallas(
@@ -500,17 +538,21 @@ def mcpc_chain_pallas(
     warm_pgrads: bool = False,
     return_scalars: bool = False,
     batch_tile: tp.Optional[int] = None,
+    emit_warm_opt_state: bool = False,
 ):
     """Run (optionally) warm_T Adam MAP steps then T fused MCPC steps.
 
     Returns ``(latents', pgrads_or_None)``, appending — in order — ``traj``
     when ``capture_stride > 0`` (packed pre-update latents every stride
     Langevin steps, shape [ceil(T/stride), B, d0+d1+d2], DMA'd to HBM from
-    inside the chain) and ``scalars`` when ``return_scalars``
+    inside the chain), ``scalars`` when ``return_scalars``
     (``{"loss": [R], "energy": [R]}`` batch sums with R = n_captures + 1;
     rows 0..R-2 are the captured steps' PRE-update values, row R-1 is the
     final step's pre-update value — the engine/reference convention,
-    pc_trainer.py:777-795).
+    pc_trainer.py:777-795; the capture rows are recomputed in f32 from the
+    trajectory outside the kernel), and ``(m, v)`` packed final Adam moments
+    when ``emit_warm_opt_state`` (for handing optimizer-x state back to the
+    engine on continuation calls).
 
     Batches larger than one VMEM tile are grid-tiled over the batch
     (``batch_tile``; default: largest divisor of B ≤ 1024); accumulators sum
@@ -532,6 +574,8 @@ def mcpc_chain_pallas(
         raise ValueError("the Adam warm-start phase requires packed=True")
     if warm_pgrads and not warm_T:
         raise ValueError("warm_pgrads requires warm_T > 0")
+    if emit_warm_opt_state and not warm_T:
+        raise ValueError("emit_warm_opt_state requires warm_T > 0")
     if activation != "relu" and not packed:
         raise ValueError("packed=False supports relu only")
     if capture_stride > 0 and T == 0:
@@ -552,9 +596,14 @@ def mcpc_chain_pallas(
         tile = _pick_batch_tile(B) if batch_tile is None else int(batch_tile)
         if B % tile != 0:
             raise ValueError(f"batch {B} not divisible by batch_tile {tile}")
+        if batch_tile is None and B > tile and tile < 128:
+            raise ValueError(
+                f"batch {B} has no VMEM-tile divisor >= 128 (best: {tile}); "
+                "a sub-sublane tile would serialize the chain ~B times — pad "
+                "the batch to a multiple of 128 or pass batch_tile explicitly"
+            )
         n_tiles = B // tile
         n_cap = -(-T // capture_stride) if capture_stride > 0 else 0
-        n_scal_rows = (n_cap + 1) if return_scalars else 0
 
         kernel = _make_packed_kernel(
             T=T, mixing=mixing, lr=lr, noise_std=noise_std,
@@ -566,13 +615,17 @@ def mcpc_chain_pallas(
             capture_stride=capture_stride,
             activation=activation,
             warm_pgrads=warm_pgrads,
-            n_scal_rows=n_scal_rows,
+            emit_scalars=return_scalars,
+            emit_warm_opt_state=emit_warm_opt_state,
             tile_B=tile,
         )
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         row_block = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0))
         out_shapes = [jax.ShapeDtypeStruct((B, xw), jnp.float32)]
         out_specs = [row_block(xw)]
+        if emit_warm_opt_state:
+            out_shapes += [jax.ShapeDtypeStruct((B, xw), jnp.float32)] * 2
+            out_specs += [row_block(xw)] * 2
         if with_pgrads:
             out_shapes += [
                 jax.ShapeDtypeStruct((xw, ow), jnp.float32),
@@ -581,9 +634,7 @@ def mcpc_chain_pallas(
             ]
             out_specs += [vmem] * 3
         if return_scalars:
-            out_shapes.append(
-                jax.ShapeDtypeStruct((n_scal_rows, 128), jnp.float32)
-            )
+            out_shapes.append(jax.ShapeDtypeStruct((1, 128), jnp.float32))
             out_specs.append(vmem)
         xw_pad = -(-xw // 128) * 128  # DMA slices must be lane-aligned
         scratch = []
@@ -617,6 +668,10 @@ def mcpc_chain_pallas(
         new_latents = (Xo[:, 0:d0], Xo[:, d0 : d0 + d1], Xo[:, d0 + d1 :])
         pgrads = None
         k = 1
+        warm_mv = None
+        if emit_warm_opt_state:
+            warm_mv = (outs[k], outs[k + 1])
+            k += 2
         if with_pgrads:
             gw_full, gb_cat, gb0 = outs[k : k + 3]
             k += 3
@@ -626,16 +681,38 @@ def mcpc_chain_pallas(
                 {"w": gw_full[d0 : d0 + d1, d1 : d1 + d2], "b": gb_cat[d1 : d1 + d2]},
                 {"w": gw_full[d0 + d1 :, d1 + d2 :], "b": gb_cat[d1 + d2 :]},
             )
-        scalars = None
+        final_row = None
         if return_scalars:
             scal = outs[k]
             k += 1
-            scalars = {"loss": scal[:, 0], "energy": scal[:, 1]}
+            final_row = {"loss": scal[:, 0], "energy": scal[:, 1]}
+        traj = None
+        if capture_stride > 0:
+            traj = outs[k][:, :, :xw]
+        scalars = None
+        if return_scalars:
+            if traj is not None:
+                # per-captured-step pre-update scalars, recomputed in f32
+                # from the trajectory — same math as the engine's per-step
+                # loss/energy (one batched forward over all captures; keeps
+                # the chain kernel free of per-step scalar accumulators)
+                cap = _traj_scalar_rows(
+                    traj, (b0, w1, b1, w2, b2, w3, b3), target, dims,
+                    activation, loss, 1.0 / input_var,
+                )
+                scalars = {
+                    "loss": jnp.concatenate([cap[0], final_row["loss"]]),
+                    "energy": jnp.concatenate([cap[1], final_row["energy"]]),
+                }
+            else:
+                scalars = final_row
         ret = [new_latents, pgrads]
         if capture_stride > 0:
-            ret.append(outs[k][:, :, :xw])
+            ret.append(traj)
         if return_scalars:
             ret.append(scalars)
+        if emit_warm_opt_state:
+            ret.append(warm_mv)
         return tuple(ret)
 
     if return_scalars or warm_pgrads or batch_tile is not None:

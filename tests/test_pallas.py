@@ -543,3 +543,113 @@ def test_trainer_outputs_capture_from_trajectory(setup):
         outs[mode] = np.asarray(res["outputs"])
     assert outs["pallas"].shape == (4, B, 16)
     np.testing.assert_allclose(outs["pallas"], outs["engine"], atol=3e-5)
+
+
+def test_trainer_capture_last_only_matches_engine(setup):
+    """is_return_results_every_t=False must reduce kernel-path captures to
+    the last step exactly like the engine path (the documented
+    results-compatibility contract)."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(21)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+
+    outs = {}
+    for mode in ("engine", "pallas"):
+        gen = mcpc.GenerativeModel(model, key=11)
+        tr = mcpc.PCTrainer(
+            gen, T=10, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.02},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        tr.use_pallas = mode == "pallas"
+        res = tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn,
+            loss_fn_kwargs={"_target": target},
+            is_return_results_every_t=False,
+            is_return_xs=True, is_return_representations=True,
+            key=jax.random.PRNGKey(3),
+        )
+        outs[mode] = res
+    for k in ("representations",):
+        assert outs["pallas"][k].shape == (1, B, 4), outs["pallas"][k].shape
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas"][k]), np.asarray(outs["engine"][k]),
+            atol=3e-5,
+        )
+    for a, b in zip(outs["pallas"]["xs"], outs["engine"]["xs"]):
+        assert a.shape[0] == 1 and b.shape[0] == 1
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+    for k in ("loss", "energy", "overall"):
+        assert outs["pallas"][k].shape == (1,)
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas"][k]), np.asarray(outs["engine"][k]),
+            rtol=1e-4,
+        )
+
+
+def test_trainer_warm_continuation_keeps_adam_state(setup):
+    """A warm-mode kernel call hands the final Adam moments back to the
+    trainer, so a continuation call (no resample) matches a pure-engine
+    two-call sequence — the reference's persistent-optimizer semantics
+    (pc_trainer.py:741-752)."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(23)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+
+    outs = {}
+    for mode in ("engine", "pallas"):
+        gen = mcpc.GenerativeModel(model, key=17)
+        tr = mcpc.PCTrainer(
+            gen, T=15, optimizer_x_fn="adam", optimizer_x_kwargs={"lr": 0.05},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        tr.use_pallas = mode == "pallas"
+        tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn,
+            loss_fn_kwargs={"_target": target}, key=jax.random.PRNGKey(4),
+            is_return_results_every_t=False,
+        )
+        # continuation: same latents, optimizer moments must carry over
+        tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn,
+            loss_fn_kwargs={"_target": target},
+            is_sample_x_at_batch_start=False, key=jax.random.PRNGKey(5),
+            is_return_results_every_t=False,
+        )
+        outs[mode] = gen.latents
+    for a, b in zip(outs["pallas"], outs["engine"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_awkward_batch_falls_back_to_engine():
+    """A batch > 1024 with no VMEM-tile divisor >= 128 (e.g. prime) must
+    fall back to the scan engine rather than serialize the chain B times;
+    the kernel itself raises on such a batch."""
+    model = mcpc.make_mlp_model(4, 8, 8, 16)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key)
+    B = 1031  # prime
+    latents = model.init_latents(params, jnp.zeros((B, 4)), key)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+
+    with pytest.raises(ValueError, match="VMEM-tile divisor"):
+        mcpc_chain_pallas(
+            params, latents, target, jnp.int32(0), T=2, lr=0.02,
+            noise_var=None, loss="bernoulli", interpret=True,
+        )
+
+    gen = mcpc.GenerativeModel(model, key=1)
+    tr = mcpc.PCTrainer(
+        gen, T=4, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.02},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    tr.use_pallas = True  # force: eligibility must still reject on batch
+    res = tr.train_on_batch(
+        jnp.zeros((B, 4)), loss_fn=mcpc.bernoulli_fn,
+        loss_fn_kwargs={"_target": target},
+        is_return_results_every_t=False, key=jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(float(res["loss"][-1]))
