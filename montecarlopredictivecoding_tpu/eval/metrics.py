@@ -140,7 +140,11 @@ def get_marginal_likelihood(
 def _pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     aa = jnp.sum(a * a, axis=1)[:, None]
     bb = jnp.sum(b * b, axis=1)[None, :]
-    return jnp.maximum(aa + bb - 2.0 * (a @ b.T), 0.0)
+    # force full-f32 MXU passes: the TPU default (bf16 products) has an
+    # absolute error of order |a||b| * 2^-8, which zeroes genuinely nonzero
+    # nearest-neighbour distances and turns the KL's log(r/s) into ±inf/nan
+    prod = jnp.dot(a, b.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(aa + bb - 2.0 * prod, 0.0)
 
 
 def KLdivergence(x, y, chunk: int = 2048) -> float:
@@ -158,6 +162,12 @@ def KLdivergence(x, y, chunk: int = 2048) -> float:
     n, d = x.shape
     m, dy = y.shape
     assert d == dy
+    # center jointly (KL is translation-invariant): keeps the f32
+    # aa+bb-2ab cancellation error proportional to the data SPREAD rather
+    # than its distance from the origin
+    mu = (jnp.sum(x, axis=0) + jnp.sum(y, axis=0)) / (n + m)
+    x = x - mu
+    y = y - mu
 
     @jax.jit
     def nn_dists(xc, x_all, y_all, start):

@@ -68,6 +68,21 @@ def test_kl_matches_scipy_kdtree_version():
     assert abs(ours - ref) < 0.05  # KDTree eps=.01 is approximate
 
 
+def test_kl_translation_invariant_far_from_origin():
+    """The figure-5 --full regression: pairwise aa+bb-2ab distances must not
+    cancel to zero when the data sits far from the origin (on TPU the
+    default bf16 matmul made genuinely distinct samples look coincident ->
+    log(0) -> nan KLs).  KL is translation-invariant, so a large common
+    offset must not change the estimate."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(1200, 5).astype(np.float32)
+    y = rng.randn(1200, 5).astype(np.float32) + 0.5
+    base = KLdivergence(x, y)
+    shifted = KLdivergence(x + 300.0, y + 300.0)
+    assert np.isfinite(shifted), shifted
+    assert abs(shifted - base) < 0.05, (base, shifted)
+
+
 def test_kl_discrete():
     p = [0.5, 0.5]
     q = [0.25, 0.75]
