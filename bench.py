@@ -85,8 +85,15 @@ def main():
                 T=T, lr=0.01, noise_var=2.0, loss="bernoulli", packed=True,
                 bf16_matmul=bf16,
             )
-            # forced readback: the only reliable sync on the tunneled platform
-            return (float(out[0][0, 0]), float(out[2][0, 0]))
+            # forced readback: the only reliable sync on the tunneled
+            # platform.  ONE transfer — each round trip costs ~30 ms, and
+            # reading any element fully synchronizes the kernel (all outputs
+            # of the single pallas_call complete together); the two probe
+            # scalars are stacked device-side first.
+            import numpy as _np
+
+            v = _np.asarray(jnp.stack([out[0][0, 0], out[2][0, 0]]))
+            return (float(v[0]), float(v[1]))
 
         return run
 
