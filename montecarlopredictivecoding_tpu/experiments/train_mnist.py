@@ -131,20 +131,15 @@ def train_mcpc(
         opt_p_state = opt_p.init(gen.params)
         mixing, sampling = config["mixing"], config["sampling"]
 
-        @jax.jit
-        def apply_update(params, opt_state, pgrads, batch_size):
-            g = jax.tree_util.tree_map(
-                lambda x: x / (sampling * batch_size), pgrads
-            )
-            updates, opt_state = opt_p.update(g, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state
-
-        def run_batch(data, key):
+        def one_batch(params, opt_state, key, data):
+            """Full per-batch training step, traceable: latent init, fused
+            warm+chain kernel, Monte-Carlo Adam update."""
+            k_lat, k_seed = jax.random.split(key)
             pseudo = jnp.zeros((data.shape[0], config["input_size"]))
-            latents = gen.model.init_latents(gen.params, pseudo, key)
-            seed_val = jax.random.randint(key, (), 0, 2**31 - 1)
+            latents = gen.model.init_latents(params, pseudo, k_lat)
+            seed_val = jax.random.randint(k_seed, (), 0, 2**31 - 1)
             _, pgrads = mcpc_chain_pallas(
-                gen.params, latents, data, seed_val,
+                params, latents, data, seed_val,
                 T=mixing + sampling,
                 lr=config["optimizer_x_kwargs_mcpc"]["lr"],
                 noise_var=2.0, loss="bernoulli",
@@ -153,7 +148,31 @@ def train_mcpc(
                 warm_lr=config["optimizer_x_kwargs_pc"]["lr"],
                 interpret=jax.default_backend() != "tpu",
             )
-            return pgrads
+            g = jax.tree_util.tree_map(
+                lambda x: x / (sampling * data.shape[0]), pgrads
+            )
+            updates, opt_state = opt_p.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        @jax.jit
+        def run_chunk(params, opt_state, key, data_k):
+            """K batches in ONE dispatch (lax.scan over stacked data) — the
+            tunneled chip pays ~5-30 ms of dispatch latency per host round
+            trip, which otherwise dominates the ~3 ms per-batch compute."""
+
+            def body(carry, data):
+                params, opt_state, key = carry
+                key, sub = jax.random.split(key)
+                params, opt_state = one_batch(params, opt_state, sub, data)
+                return (params, opt_state, key), None
+
+            (params, opt_state, key), _ = jax.lax.scan(
+                body, (params, opt_state, key), data_k
+            )
+            return params, opt_state, key
+
+        CHUNK = 16
+        key_dev = gen.next_key()
     else:
         pc_warm = get_pc_trainer(gen, config, is_mcpc=True, training=True)
         mc = get_mcpc_trainer(gen, config, training=True)
@@ -166,14 +185,25 @@ def train_mcpc(
         snap("_init")
     for epoch in range(1, epochs + 1):
         t0 = time.time()
+        pending: list = []
+
+        def flush():
+            nonlocal pending, opt_p_state, key_dev
+            while pending:
+                k = CHUNK if len(pending) >= CHUNK else 1
+                stack = jnp.stack(pending[:k])
+                gen.params, opt_p_state, key_dev = run_chunk(
+                    gen.params, opt_p_state, key_dev, stack
+                )
+                pending = pending[k:]
+
         for i, (data, _) in enumerate(train):
             if batches_per_epoch is not None and i >= batches_per_epoch:
                 break
             if fused:
-                pgrads = run_batch(data, gen.next_key())
-                gen.params, opt_p_state = apply_update(
-                    gen.params, opt_p_state, pgrads, data.shape[0]
-                )
+                pending.append(jnp.asarray(data))
+                if len(pending) >= CHUNK:
+                    flush()
             else:
                 pseudo = jnp.zeros((data.shape[0], config["input_size"]))
                 pc_warm.train_on_batch(
@@ -191,7 +221,10 @@ def train_mcpc(
                     is_return_results_every_t=False,
                 )
         if fused:
-            jax.block_until_ready(gen.params)
+            flush()
+            # sync via a scalar readback (block_until_ready is unreliable
+            # over the tunnel) so the epoch timing is honest
+            float(jnp.sum(gen.params[0]["b"]))
         if log:
             print(f"epoch {epoch}: {time.time() - t0:.1f}s")
         if epoch in snapshot_epochs:
