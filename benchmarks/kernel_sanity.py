@@ -84,6 +84,20 @@ def main():
     assert np.isfinite(float(lat[0][0, 0]))
     print("bf16 OK")
 
+    # 5) chunked fused training dispatch (lax.scan over the kernel + Adam
+    # p-update) — the train_mnist fast path; noise on, so TPU-only
+    from montecarlopredictivecoding_tpu.experiments.train_mnist import (
+        train_mcpc,
+    )
+
+    gen = train_mcpc(
+        epochs=1, out="/tmp/kernel_sanity_train", seed=0,
+        batches_per_epoch=18, fused=True, log=False,
+    )
+    w = np.asarray(gen.params[3]["w"])
+    assert np.isfinite(w).all()
+    print("chunked fused training OK:", float(np.abs(w).max()))
+
     print("KERNEL_SANITY_PASS")
 
 
