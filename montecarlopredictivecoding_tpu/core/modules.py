@@ -42,6 +42,9 @@ def gaussian_energy(inputs: dict) -> Array:
     return 0.5 * (inputs["mu"] - inputs["x"]) ** 2
 
 
+gaussian_energy.gaussian_var = 1.0
+
+
 def scaled_gaussian_energy(var: float) -> tp.Callable[[dict], Array]:
     """Gaussian energy with variance ``var``: ``(1/var)*0.5*(mu-x)**2``.
 
@@ -52,6 +55,9 @@ def scaled_gaussian_energy(var: float) -> tp.Callable[[dict], Array]:
     def _fn(inputs: dict) -> Array:
         return (1.0 / var) * 0.5 * (inputs["mu"] - inputs["x"]) ** 2
 
+    # introspection hook: lets the fused kernel's eligibility check read the
+    # variance off an output-PC site (ops/pallas_mcpc.py::supports_model)
+    _fn.gaussian_var = float(var)
     return _fn
 
 

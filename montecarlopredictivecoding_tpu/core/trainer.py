@@ -310,8 +310,13 @@ class PCTrainer:
         if self.use_pallas == "auto" and jax.default_backend() != "tpu":
             return None
         activation = model_activation(self.gen.model)
+        output_var = None
         if activation is None or not supports_model(self.gen.model, activation):
-            return None
+            from ..ops.pallas_mcpc import output_pc_var
+
+            output_var = output_pc_var(self.gen.model)
+            if output_var is None or activation is None:
+                return None
         from ..ops.pallas_mcpc import _pick_batch_tile
 
         if batch_size > 1024 and _pick_batch_tile(batch_size) < 128:
@@ -366,6 +371,12 @@ class PCTrainer:
             loss_name = "none"
         if loss_name is None:
             return None
+        if output_var is not None:
+            # trailing-PC joint sampler: packed Langevin phase only — the
+            # sensory site is an unclamped latent, so any sensory loss or
+            # warm/capture request goes to the engine
+            if loss_name != "none" or mode != "langevin" or wants_traj:
+                return None
         cap = {}
         if wants_traj:
             cap = {
@@ -374,7 +385,8 @@ class PCTrainer:
                 "capture_representations": cfg.capture_representations,
                 "capture_outputs": cfg.capture_outputs,
             }
-        base = {"loss": loss_name, "mode": mode, "activation": activation}
+        base = {"loss": loss_name, "mode": mode, "activation": activation,
+                "output_var": output_var}
         if not plan.update_p_at:
             return {**base, "with_pgrads": False, "mixing": 0, **cap}
         if plan.update_p_at != (plan.T - 1,):
@@ -437,6 +449,7 @@ class PCTrainer:
             activation=dispatch["activation"],
             return_scalars=True,
             bf16_matmul=bool(bf16),
+            output_var=dispatch.get("output_var"),
             # off-TPU (use_pallas=True forced, e.g. in tests) run interpreted
             interpret=not on_tpu,
             **phase,

@@ -67,6 +67,12 @@ def model_activation(model: PCModel) -> tp.Optional[str]:
     return None
 
 
+_CANONICAL_KINDS = [
+    "Linear", "PC", "Activation", "Linear", "PC", "Activation",
+    "Linear", "PC", "Activation", "Linear",
+]
+
+
 def supports_model(model: PCModel, activation: tp.Optional[str] = None) -> bool:
     """The kernel covers the canonical 4-Linear MLP with 3 PC sites, a
     uniform relu/tanh activation, the default Gaussian energy and no S/M
@@ -74,10 +80,7 @@ def supports_model(model: PCModel, activation: tp.Optional[str] = None) -> bool:
     from ..core.modules import gaussian_energy
 
     kinds = [type(m).__name__ for m in model.modules]
-    if kinds != [
-        "Linear", "PC", "Activation", "Linear", "PC", "Activation",
-        "Linear", "PC", "Activation", "Linear",
-    ]:
+    if kinds != _CANONICAL_KINDS:
         return False
     act = model_activation(model)
     if act is None or (activation is not None and act != activation):
@@ -88,6 +91,33 @@ def supports_model(model: PCModel, activation: tp.Optional[str] = None) -> bool:
         for m in model.modules
         if isinstance(m, PC)
     )
+
+
+def output_pc_var(model: PCModel) -> tp.Optional[float]:
+    """If ``model`` is the canonical MLP with a TRAILING PC site (the
+    "generative PCLayer at the output" pattern, reference figure_3.py:47-55
+    / make_mlp_model(output_pc=...)), return the trailing site's Gaussian
+    variance; otherwise None.  The trailing energy must be a (scaled)
+    Gaussian (``gaussian_var`` attribute) with no S/M masks; the hidden
+    sites must satisfy the standard eligibility."""
+    from ..core.modules import gaussian_energy
+
+    kinds = [type(m).__name__ for m in model.modules]
+    if kinds != _CANONICAL_KINDS + ["PC"]:
+        return None
+    if model_activation(model) is None:
+        return None
+    hidden = model.pc_layers[:-1]
+    if not all(
+        m.energy_fn is gaussian_energy and m.S is None and m.M is None
+        for m in hidden
+    ):
+        return None
+    tail = model.pc_layers[-1]
+    var = getattr(tail.energy_fn, "gaussian_var", None)
+    if var is None or tail.S is not None or tail.M is not None:
+        return None
+    return float(var)
 
 
 # Scoped-VMEM ceiling for the chain kernel.  The Mosaic default (16 MiB)
@@ -173,7 +203,8 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         warm_pgrads: bool = False,
                         emit_scalars: bool = False,
                         emit_warm_opt_state: bool = False,
-                        tile_B: int = 0):
+                        tile_B: int = 0,
+                        output_pc: bool = False):
     """Packed variant: one block-diagonal matmul per direction per step.
 
     All PC-site predictions depend only on the *current* latents, so the
@@ -194,17 +225,22 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
         seed_ref,  # SMEM [1]
         wf, b0, b_cat,  # packed params: blockdiag fwd weights, prior bias, cat biases
         x_in,  # packed latents tile [tile_B, xw]
-        y,  # target tile [tile_B, D]
+        y,  # target tile [tile_B, D]; with output_pc this is x3_in (the
+            # trailing PC site's latent — the sensory layer itself)
         x_out,  # packed latents out tile
-        *rest,  # outputs: [m_out, v_out] when emit_warm_opt_state, then
-                # [gw_full, gb_cat, gb0] when with_pgrads, then [scal] when
-                # emit_scalars, then [traj (HBM)] when capture_stride > 0;
+        *rest,  # outputs: [x3_out] when output_pc, then [m_out, v_out] when
+                # emit_warm_opt_state, then [gw_full, gb_cat, gb0] when
+                # with_pgrads, then [scal] when emit_scalars, then
+                # [traj (HBM)] when capture_stride > 0;
                 # scratch: [cap_buf, dma_sem]
     ):
         k = 0
+        if output_pc:
+            x3_out = rest[0]  # trailing latent tile [tile_B, D]
+            k = 1
         if emit_warm_opt_state:
-            m_out, v_out = rest[0:2]  # final Adam moments [tile_B, xw]
-            k = 2
+            m_out, v_out = rest[k : k + 2]  # final Adam moments [tile_B, xw]
+            k += 2
         if with_pgrads:
             gw_full, gb_cat, gb0 = rest[k : k + 3]
             k += 3
@@ -232,6 +268,8 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 scal[...] = jnp.zeros_like(scal)
 
         x_out[...] = x_in[...]
+        if output_pc:
+            x3_out[...] = y[...]
 
         def mm(a, b):
             if bf16_matmul:
@@ -247,8 +285,9 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
         def grads_and_V(X):
             """Energy gradient w.r.t. the packed latents, plus the packed
             backward vector V = [err1 | err2 | -s], H = act(X) (reused for
-            the Hebbian parameter grads), and err_cat/logits (reused for the
-            scalar loss/energy emission)."""
+            the Hebbian parameter grads), err_cat/logits (reused for the
+            scalar loss/energy emission), and — with output_pc — the
+            trailing site's error err3 = x3 - logits."""
             H = act(X)
             if activation == "relu":
                 dH = jnp.where(X > 0, 1.0, 0.0)
@@ -261,7 +300,14 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             err2 = X[:, c2 : c2 + d2] - MU[:, o2_ : o2_ + d2]
             logits = MU[:, o3_ : o3_ + D]
 
-            if loss == "bernoulli":
+            err3 = None
+            if output_pc:
+                # trailing PC site: the sensory layer is an unclamped latent
+                # with energy 0.5*inv_var*(x3 - logits)^2 — its dE/dlogits
+                # has exactly the Gaussian-loss form with y := x3
+                err3 = x3_out[...] - logits
+                s = -err3 * inv_var
+            elif loss == "bernoulli":
                 s = jax.nn.sigmoid(logits) - y[...]
             elif loss == "gaussian":
                 s = (logits - y[...]) * inv_var
@@ -273,9 +319,9 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             back = mm(V, wf[...].T)  # [B, xw]
             err_cat = jnp.concatenate([err0, err1, err2], axis=1)
             G = err_cat - dH * back
-            return G, V, H, err0, err_cat, logits
+            return G, V, H, err0, err_cat, logits, err3
 
-        def scal_row(err_cat, logits):
+        def scal_row(err_cat, logits, err3=None):
             """[1, 128] row: lane 0 = sensory loss, lane 1 = layer energy —
             both batch-tile sums (accumulated across tiles), computed from
             the PRE-update state (the engine/reference scalar convention,
@@ -284,6 +330,8 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             the HBM trajectory outside the kernel (mcpc_chain_pallas), which
             keeps the hot loop free of the O(n_cap) masked accumulator."""
             energy_s = 0.5 * jnp.sum(err_cat * err_cat)
+            if output_pc:
+                energy_s += 0.5 * inv_var * jnp.sum(err3 * err3)
             if loss == "bernoulli":
                 loss_s = jnp.sum(
                     jnp.maximum(logits, 0.0)
@@ -319,7 +367,7 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                     # has no powf with a traced exponent
                     b1p, b2p = carry
                     X = x_out[...]
-                    G, V, H, err0, err_cat, logits = grads_and_V(X)
+                    G, V, H, err0, err_cat, logits, _ = grads_and_V(X)
                     if warm_pgrads:
                         # PC training: update_p='last' takes the final
                         # step's pre-update gradients (pc_trainer.py:904-914)
@@ -374,12 +422,12 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         cp.start()
                         cp.wait()
 
-                G, V, H, err0, err_cat, logits = grads_and_V(X)
+                G, V, H, err0, err_cat, logits, err3 = grads_and_V(X)
 
                 if emit_scalars:
                     @pl.when(t == T - 1)
                     def _():
-                        scal[...] += scal_row(err_cat, logits)
+                        scal[...] += scal_row(err_cat, logits, err3)
 
                 if with_pgrads:
                     @pl.when(t >= mixing)
@@ -390,6 +438,16 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                     x_out[...] = X - lr * G + noise_std * _normals(X.shape)
                 else:
                     x_out[...] = X - lr * G
+                if output_pc:
+                    # trailing latent's Langevin step: dE/dx3 = inv_var*err3
+                    g3 = inv_var * err3
+                    if noise_std > 0.0:
+                        x3_out[...] = (
+                            x3_out[...] - lr * g3
+                            + noise_std * _normals((x3_out.shape[0], D))
+                        )
+                    else:
+                        x3_out[...] = x3_out[...] - lr * g3
                 return ()
 
             jax.lax.fori_loop(0, T, step, ())
@@ -509,7 +567,7 @@ def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
         "with_pgrads", "interpret", "bf16_matmul", "packed",
         "warm_T", "warm_lr", "warm_b1", "warm_b2", "warm_eps",
         "capture_stride", "activation", "warm_pgrads", "return_scalars",
-        "batch_tile", "emit_warm_opt_state",
+        "batch_tile", "emit_warm_opt_state", "output_var",
     ),
 )
 def mcpc_chain_pallas(
@@ -539,6 +597,7 @@ def mcpc_chain_pallas(
     return_scalars: bool = False,
     batch_tile: tp.Optional[int] = None,
     emit_warm_opt_state: bool = False,
+    output_var: tp.Optional[float] = None,
 ):
     """Run (optionally) warm_T Adam MAP steps then T fused MCPC steps.
 
@@ -567,6 +626,21 @@ def mcpc_chain_pallas(
     """
     w0, w1, w2, w3 = (p["w"] for p in params)
     b0, b1, b2, b3 = (p["b"] for p in params)
+    output_pc = output_var is not None
+    if output_pc:
+        if len(latents) != 4:
+            raise ValueError("output_var requires 4 latents (trailing PC)")
+        if loss != "none":
+            raise ValueError(
+                "output_var models are unclamped joint samplers (loss='none')"
+            )
+        if warm_T or capture_stride or not packed:
+            raise ValueError(
+                "output_var supports the packed Langevin phase only (no "
+                "warm start / capture yet — the engine covers those)"
+            )
+        x3 = latents[3]
+        latents = latents[:3]
     x0, x1, x2 = latents
     B = x0.shape[0]
     noise_std = float(np.sqrt(lr * noise_var)) if noise_var else 0.0
@@ -607,7 +681,9 @@ def mcpc_chain_pallas(
 
         kernel = _make_packed_kernel(
             T=T, mixing=mixing, lr=lr, noise_std=noise_std,
-            loss=loss, inv_var=1.0 / input_var, with_pgrads=with_pgrads,
+            loss=loss,
+            inv_var=(1.0 / output_var) if output_pc else (1.0 / input_var),
+            with_pgrads=with_pgrads,
             dims=dims, bf16_matmul=bf16_matmul,
             warm=(warm_T, warm_lr, warm_b1, warm_b2, warm_eps)
             if warm_T > 0
@@ -618,11 +694,15 @@ def mcpc_chain_pallas(
             emit_scalars=return_scalars,
             emit_warm_opt_state=emit_warm_opt_state,
             tile_B=tile,
+            output_pc=output_pc,
         )
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         row_block = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0))
         out_shapes = [jax.ShapeDtypeStruct((B, xw), jnp.float32)]
         out_specs = [row_block(xw)]
+        if output_pc:
+            out_shapes.append(jax.ShapeDtypeStruct((B, D), jnp.float32))
+            out_specs.append(row_block(D))
         if emit_warm_opt_state:
             out_shapes += [jax.ShapeDtypeStruct((B, xw), jnp.float32)] * 2
             out_specs += [row_block(xw)] * 2
@@ -662,12 +742,17 @@ def mcpc_chain_pallas(
             jnp.asarray(seed, dtype=jnp.int32).reshape(1),
             wf, b0, b_cat,
             X,
-            target if target is not None else jnp.zeros((B, D), jnp.float32),
+            # the y operand carries x3 for output-PC joint samplers
+            x3 if output_pc
+            else (target if target is not None else jnp.zeros((B, D), jnp.float32)),
         )
         Xo = outs[0]
         new_latents = (Xo[:, 0:d0], Xo[:, d0 : d0 + d1], Xo[:, d0 + d1 :])
         pgrads = None
         k = 1
+        if output_pc:
+            new_latents = new_latents + (outs[k],)
+            k += 1
         warm_mv = None
         if emit_warm_opt_state:
             warm_mv = (outs[k], outs[k + 1])

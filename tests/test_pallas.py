@@ -653,3 +653,124 @@ def test_awkward_batch_falls_back_to_engine():
         is_return_results_every_t=False, key=jax.random.PRNGKey(2),
     )
     assert np.isfinite(float(res["loss"][-1]))
+
+
+def _engine_run_full(model, params, latents, target, T, lr, loss_fn,
+                     loss_kwargs, mixing=None):
+    """Engine chain with optional MC pgrads; returns (latents, results, params)."""
+    plan_kwargs = dict(update_x_at="all", update_p_at="never")
+    cfg = EngineConfig(
+        plan=build_plan(T, "all", "never") if mixing is None else build_plan(
+            T, "all", "last", list(range(mixing, T))
+        ),
+        optimizer_x=OptimizerSpec("sgd", lr=lr),
+        optimizer_p=OptimizerSpec("adam", lr=0.01) if mixing is not None else None,
+        langevin_var=None,
+        loss_fn=loss_fn,
+        capture_every_t=False,
+    )
+    fn = jax.jit(build_train_on_batch(model, cfg))
+    B = latents[0].shape[0]
+    st = EngineState(
+        params=params, latents=latents,
+        opt_x_state=cfg.optimizer_x.make().init({"latents": latents}),
+        opt_p_state=(cfg.optimizer_p.make().init(params)
+                     if cfg.optimizer_p is not None else None),
+        lr_scale=jnp.ones(()), key=jax.random.PRNGKey(0),
+    )
+    ns, res = fn(st, jnp.zeros((B, model.modules[0].in_dim)), loss_kwargs)
+    return ns.latents, res, ns.params
+
+
+@pytest.fixture(scope="module")
+def output_pc_setup():
+    model = mcpc.make_mlp_model(
+        4, 8, 8, 16,
+        output_pc=mcpc.PC(
+            energy_fn=mcpc.scaled_gaussian_energy(0.5),
+            sample_x_fn=mcpc.sample_x_fn,
+        ),
+    )
+    key = jax.random.PRNGKey(0)
+    params = model.init(key)
+    B = 8
+    latents = model.init_latents(params, jnp.zeros((B, 4)), key)
+    return model, params, latents
+
+
+def test_output_pc_kernel_matches_engine(output_pc_setup):
+    """Trailing-PC joint sampler (reference figure_3.py:47-55 pattern at MLP
+    scale): deterministic kernel chain == engine for all four latents and
+    scalars."""
+    model, params, latents = output_pc_setup
+    T, lr = 9, 0.02
+    eng_lat, eng_res, _ = _engine_run_full(
+        model, params, latents, None, T, lr, mcpc.zero_fn, {}
+    )
+    lat, pg, scal = mcpc_chain_pallas(
+        params, latents, None, jnp.int32(0), T=T, lr=lr, noise_var=None,
+        loss="none", output_var=0.5, return_scalars=True, interpret=True,
+    )
+    assert pg is None
+    assert len(lat) == 4
+    for a, b in zip(lat, eng_lat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(
+        float(scal["energy"][-1]), float(eng_res["energy"][-1]), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(scal["loss"][-1]), 0.0, atol=1e-6)
+
+
+def test_output_pc_kernel_pgrads_match_engine(output_pc_setup):
+    """MC-accumulated parameter grads through the trailing-PC energy match
+    the engine's update."""
+    model, params, latents = output_pc_setup
+    T, mixing, lr = 10, 4, 0.02
+    _, _, eng_params = _engine_run_full(
+        model, params, latents, None, T, lr, mcpc.zero_fn, {}, mixing=mixing
+    )
+    import optax
+
+    _, pg, _ = mcpc_chain_pallas(
+        params, latents, None, jnp.int32(0), T=T, lr=lr, noise_var=None,
+        loss="none", output_var=0.5, mixing=mixing, with_pgrads=True,
+        return_scalars=True, interpret=True,
+    )
+    opt_p = OptimizerSpec("adam", lr=0.01).make()
+    B = latents[0].shape[0]
+    g = jax.tree_util.tree_map(lambda x: x / ((T - mixing) * B), pg)
+    updates, _ = opt_p.update(g, opt_p.init(params), params)
+    manual = optax.apply_updates(params, updates)
+    for pa, pb in zip(eng_params, manual):
+        np.testing.assert_allclose(np.asarray(pa["w"]), np.asarray(pb["w"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(pa["b"]), np.asarray(pb["b"]), atol=2e-5)
+
+
+def test_trainer_dispatches_output_pc_model(output_pc_setup):
+    """PCTrainer takes the kernel path for the trailing-PC topology (zero
+    loss, SGD Langevin config) and matches the engine path."""
+    model = output_pc_setup[0]
+    B = 8
+    inputs = jnp.zeros((B, 4))
+    outs = {}
+    for mode in ("engine", "pallas"):
+        gen = mcpc.GenerativeModel(model, key=3)
+        tr = mcpc.PCTrainer(
+            gen, T=8, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.02},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        tr.use_pallas = mode == "pallas"
+        res = tr.train_on_batch(
+            inputs, loss_fn=None,
+            callback_after_t=mcpc.LangevinStep(var=None),
+            is_return_results_every_t=False, key=jax.random.PRNGKey(5),
+        )
+        outs[mode] = (gen.latents, res)
+    assert len(outs["pallas"][0]) == 4
+    for a, b in zip(outs["pallas"][0], outs["engine"][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for k in ("energy", "overall"):
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas"][1][k]), np.asarray(outs["engine"][1][k]),
+            rtol=1e-4,
+        )
