@@ -467,9 +467,11 @@ class PCTrainer:
         # the params in force DURING the chain (captures are pre-update)
         chain_last_linear = gen.params[-1]
         gen.latents = new_latents
-        if warm_mv is not None:
+        if warm_mv is not None or (
+            dispatch["with_pgrads"] and self.opt_p_spec is not None
+        ):
             import optax
-
+        if warm_mv is not None:
             d0 = gen.model.modules[gen.model.linear_indices[0]].out_dim
             d1 = gen.model.modules[gen.model.linear_indices[1]].out_dim
 
@@ -489,8 +491,6 @@ class PCTrainer:
                 optax.EmptyState(),
             )
         if dispatch["with_pgrads"] and self.opt_p_spec is not None:
-            import optax
-
             from .engine import tree_scale
 
             opt_p = self.opt_p_spec.make()
@@ -521,13 +521,12 @@ class PCTrainer:
                 gen.model.modules[i].out_dim
                 for i in gen.model.linear_indices[:-1]
             ]
+            offs = [0, dims[0], dims[0] + dims[1], sum(dims)]
             if dispatch.get("capture_xs"):
-                offs = [0, dims[0], dims[0] + dims[1], sum(dims)]
                 results["xs"] = tuple(
                     traj[:, :, offs[i] : offs[i + 1]] for i in range(3)
                 )
             if dispatch.get("capture_representations"):
-                offs = [0, dims[0], dims[0] + dims[1], sum(dims)]
                 ri = cfg.rep_index
                 results["representations"] = traj[
                     :, :, offs[ri] : offs[ri] + dims[ri]

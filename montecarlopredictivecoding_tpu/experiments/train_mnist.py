@@ -190,7 +190,16 @@ def train_mcpc(
         def flush():
             nonlocal pending, opt_p_state, key_dev
             while pending:
-                k = CHUNK if len(pending) >= CHUNK else 1
+                # only stack equal-shaped batches (the loader's final batch
+                # can be smaller); k stays in {CHUNK, 1} so each distinct
+                # (k, batch) pair costs exactly one jit trace — the epoch
+                # remainder runs one batch per dispatch, trading a few ms of
+                # tunnel latency per epoch for not compiling a third variant
+                k = CHUNK
+                if len(pending) < CHUNK or any(
+                    b.shape != pending[0].shape for b in pending[:CHUNK]
+                ):
+                    k = 1
                 stack = jnp.stack(pending[:k])
                 gen.params, opt_p_state, key_dev = run_chunk(
                     gen.params, opt_p_state, key_dev, stack

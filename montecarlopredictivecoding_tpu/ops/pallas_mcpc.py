@@ -151,10 +151,13 @@ def _traj_scalar_rows(traj, params_flat, target, dims, activation, loss,
     x1 = traj[:, :, d0 : d0 + d1]
     x2 = traj[:, :, d0 + d1 :]
     act = (lambda v: jnp.maximum(v, 0.0)) if activation == "relu" else jnp.tanh
+    # full-f32 MXU passes: the TPU bf16 default would give these scalar rows
+    # ~2^-8 relative error while the kernel-emitted final row is full f32
+    hi = jax.lax.Precision.HIGHEST
     err0 = x0 - b0
-    err1 = x1 - (act(x0) @ w1 + b1)
-    err2 = x2 - (act(x1) @ w2 + b2)
-    logits = act(x2) @ w3 + b3
+    err1 = x1 - (jnp.matmul(act(x0), w1, precision=hi) + b1)
+    err2 = x2 - (jnp.matmul(act(x1), w2, precision=hi) + b2)
+    logits = jnp.matmul(act(x2), w3, precision=hi) + b3
     energy = 0.5 * (
         jnp.sum(err0 * err0, axis=(1, 2))
         + jnp.sum(err1 * err1, axis=(1, 2))

@@ -658,7 +658,6 @@ def test_awkward_batch_falls_back_to_engine():
 def _engine_run_full(model, params, latents, target, T, lr, loss_fn,
                      loss_kwargs, mixing=None):
     """Engine chain with optional MC pgrads; returns (latents, results, params)."""
-    plan_kwargs = dict(update_x_at="all", update_p_at="never")
     cfg = EngineConfig(
         plan=build_plan(T, "all", "never") if mixing is None else build_plan(
             T, "all", "last", list(range(mixing, T))
