@@ -122,7 +122,11 @@ def get_marginal_likelihood(
         z = logits  # [S, D]
         pos = jnp.sum(jnp.maximum(z, 0) + jnp.log1p(jnp.exp(-jnp.abs(z))), axis=1)
         # sum_d max(z,0) - z*y + log1p(exp(-|z|)) = pos - data @ z^T
-        return pos[None, :] - data @ z.T
+        # full-f32 MXU: the bf16 default's ~2^-8 relative error on this
+        # ~1e4-magnitude nat sum would add O(nats) noise to the metric
+        return pos[None, :] - jnp.matmul(
+            data, z.T, precision=jax.lax.Precision.HIGHEST
+        )
 
     losses = []
     for data, _ in batches:

@@ -244,7 +244,10 @@ class StackedMetrics:
         @jax.jit
         def batch_losses(data):
             pos = jnp.sum(jnp.maximum(logits, 0) + jnp.log1p(jnp.exp(-jnp.abs(logits))), axis=1)
-            return pos[None, :] - data @ logits.T
+            # full-f32 MXU (see eval/metrics.py: bf16 would add O(nats))
+            return pos[None, :] - jnp.matmul(
+                data, logits.T, precision=jax.lax.Precision.HIGHEST
+            )
 
         losses = []
         for data, _ in batches:
