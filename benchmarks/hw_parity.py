@@ -1,0 +1,55 @@
+"""Hardware parity: the Mosaic-compiled kernel vs the XLA engine on the same
+deterministic inputs (noise off) — latents, captures, scalars, and a full
+PC-training weight update. Interpret-mode tests cover the kernel's math; this
+covers the actual TPU codegen."""
+import sys
+sys.path.insert(0, __import__("os").path.join(__import__("os").path.dirname(__file__), ".."))
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+import jax.numpy as jnp
+import numpy as np
+import montecarlopredictivecoding_tpu as mcpc
+
+model = mcpc.make_mlp_model(20, 128, 128, 784)
+B = 64
+key = jax.random.PRNGKey(0)
+target = (jax.random.uniform(key, (B, 784)) > 0.5).astype(jnp.float32)
+inputs = jnp.zeros((B, 20))
+
+def run(use_pallas, warm=False):
+    gen = mcpc.GenerativeModel(model, key=11)
+    if warm:
+        tr = mcpc.PCTrainer(gen, T=40, optimizer_x_fn="adam",
+                            optimizer_x_kwargs={"lr": 0.05},
+                            update_p_at="last",
+                            optimizer_p_fn="adam", optimizer_p_kwargs={"lr": 0.01})
+    else:
+        tr = mcpc.PCTrainer(gen, T=24, optimizer_x_fn="sgd",
+                            optimizer_x_kwargs={"lr": 0.02},
+                            update_p_at="last",
+                            accumulate_p_at=list(range(8, 24)),
+                            optimizer_p_fn="adam", optimizer_p_kwargs={"lr": 0.01})
+    tr.use_pallas = use_pallas
+    res = tr.train_on_batch(
+        inputs, loss_fn=mcpc.bernoulli_fn, loss_fn_kwargs={"_target": target},
+        callback_after_t=None if warm else mcpc.LangevinStep(var=None),
+        is_return_results_every_t=True,
+        is_return_xs=not warm, capture_stride=4 if not warm else 1,
+        key=jax.random.PRNGKey(3),
+    )
+    return gen, res
+
+for warm in (False, True):
+    g_k, r_k = run(True, warm)
+    g_e, r_e = run(False, warm)
+    for a, b in zip(g_k.latents, g_e.latents):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
+    for pa, pb in zip(g_k.params, g_e.params):
+        np.testing.assert_allclose(np.asarray(pa["w"]), np.asarray(pb["w"]), rtol=5e-4, atol=5e-4)
+    if not warm:
+        for a, b in zip(r_k["xs"], r_e["xs"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(r_k["loss"]), np.asarray(r_e["loss"]), rtol=5e-4)
+    print(("warm" if warm else "langevin"), "hardware parity OK;",
+          "loss[-1] =", float(r_k["loss"][-1]))
+print("HW_PARITY_OK")
