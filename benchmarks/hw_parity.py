@@ -30,13 +30,23 @@ def run(use_pallas, warm=False):
                             accumulate_p_at=list(range(8, 24)),
                             optimizer_p_fn="adam", optimizer_p_kwargs={"lr": 0.01})
     tr.use_pallas = use_pallas
+    took_kernel = []
+    orig_run = tr._run_pallas
+    tr._run_pallas = lambda *a, **k: (took_kernel.append(1), orig_run(*a, **k))[1]
     res = tr.train_on_batch(
         inputs, loss_fn=mcpc.bernoulli_fn, loss_fn_kwargs={"_target": target},
         callback_after_t=None if warm else mcpc.LangevinStep(var=None),
-        is_return_results_every_t=True,
+        # warm mode serves reduced results only (no captures): every_t=True
+        # with no trajectory request would silently fall back to the engine
+        # and this gate would compare engine vs engine
+        is_return_results_every_t=not warm,
         is_return_xs=not warm, capture_stride=4 if not warm else 1,
         key=jax.random.PRNGKey(3),
     )
+    if use_pallas and not took_kernel:
+        raise AssertionError(
+            f"kernel path not taken (warm={warm}); hw parity would be vacuous"
+        )
     return gen, res
 
 for warm in (False, True):

@@ -58,7 +58,7 @@ def main():
         loss="bernoulli", mixing=10, with_pgrads=True, capture_stride=10,
         return_scalars=True,
     )
-    assert traj.shape == (3, 2048, 276), traj.shape
+    assert traj.shape == (3, 2048, 384), traj.shape  # aligned packed layout
     assert np.isfinite(np.asarray(traj).sum())
     # the two tiles must hold DIFFERENT noise streams
     assert not np.allclose(np.asarray(lat[1][:4]), np.asarray(lat[1][1024:1028]))
@@ -97,6 +97,60 @@ def main():
     w = np.asarray(gen.params[3]["w"])
     assert np.isfinite(w).all()
     print("chunked fused training OK:", float(np.abs(w).max()))
+
+    # 6) masked sensory losses (figure-2 masked posteriors / get_mse_rec):
+    # Langevin chain and Adam MAP descent
+    params, latents, target = setup("relu", B=256)
+    lat, _ = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(6), T=30, lr=0.02, noise_var=2.0,
+        loss="bernoulli_mask", mask_perc=0.5,
+    )
+    assert np.isfinite(float(lat[0][0, 0]))
+    lat, _ = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(7), T=0, lr=0.1, noise_var=None,
+        loss="gaussian_mask", mask_perc=0.5, input_var=0.3,
+        warm_T=30, warm_lr=0.1,
+    )
+    assert np.isfinite(float(lat[0][0, 0]))
+    print("masked losses OK")
+
+    # 7) per-layer matmul layout == blockdiag on hardware (deterministic)
+    params, latents, target = setup("relu", B=1024)
+    outs = {}
+    for layout in ("blockdiag", "perlayer"):
+        outs[layout] = mcpc_chain_pallas(
+            params, latents, target, jnp.int32(8), T=30, lr=0.02,
+            noise_var=None, loss="bernoulli", mixing=10, with_pgrads=True,
+            warm_T=20, warm_lr=0.1, matmul_layout=layout,
+        )
+    for a, b in zip(outs["blockdiag"][0], outs["perlayer"][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(outs["blockdiag"][1][3]["w"]),
+        np.asarray(outs["perlayer"][1][3]["w"]), rtol=5e-4, atol=5e-3,
+    )
+    print("perlayer == blockdiag OK")
+
+    # 8) output-PC joint sampler: warm + noisy capture chain (figure-3 path)
+    model = mcpc.make_mlp_model(
+        20, 128, 128, 784,
+        output_pc=mcpc.PC(
+            energy_fn=mcpc.scaled_gaussian_energy(0.3),
+            sample_x_fn=mcpc.sample_x_fn,
+        ),
+    )
+    params = model.init(key)
+    latents = model.init_latents(params, jnp.zeros((64, 20)), key)
+    lat, _, traj, traj3, scal, warm_mv = mcpc_chain_pallas(
+        params, latents, None, jnp.int32(9), T=40, lr=0.02, noise_var=2.0,
+        loss="none", output_var=0.3, warm_T=30, warm_lr=0.1,
+        capture_stride=10, return_scalars=True, emit_warm_opt_state=True,
+    )
+    assert traj3.shape == (4, 64, 896), traj3.shape
+    assert len(warm_mv) == 4
+    assert len(lat) == 4 and np.isfinite(float(lat[3][0, 0]))
+    assert np.isfinite(float(scal["energy"][-1]))
+    print("output-PC warm + capture OK:", float(scal["energy"][-1]))
 
     print("KERNEL_SANITY_PASS")
 

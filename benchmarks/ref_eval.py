@@ -62,6 +62,14 @@ def main():
         from benchmarks.eval_trained import load_resnet9_features
 
         feats["resnet9"] = load_resnet9_features()
+    if os.environ.get("MCPC_INCEPTION_WEIGHTS"):
+        # the paper-comparable extractor (pytorch-fid InceptionV3-pool3) —
+        # activates when a torch weights file is provided
+        from montecarlopredictivecoding_tpu.eval.fid import (
+            make_inception_features,
+        )
+
+        feats["inception"] = make_inception_features()
 
     source, digest = mnist_source_fingerprint()
     ctxs = {

@@ -331,9 +331,10 @@ class PCTrainer:
             return None
         if cfg.energy_coefficient != 1.0:
             return None  # the kernel hardcodes overall = loss + 1.0 * energy
-        if self._lr_scale_host != 1.0:
-            # set_x_lr'd scale isn't kernel-representable (host mirror is
-            # exact because dynamic annealing already disqualified above)
+        if self._lr_scale_host is None or self._lr_scale_host <= 0.0:
+            # a dynamic-annealing run left the live scale device-side only;
+            # the host mirror is unknown, so the kernel's static lr can't
+            # fold it (see train_on_batch's post-run invalidation)
             return None
         if cfg.dynamic_x_lr or cfg.early_stop_fn is not None:
             return None
@@ -362,21 +363,34 @@ class PCTrainer:
         plan = cfg.plan
         if plan.update_x_at != tuple(range(plan.T)):
             return None
+        # static kwargs ('perc', '_reduction') arrive pre-bound in a partial
+        # (train_on_batch's _static_loss_partial) — unwrap to identify the
+        # base loss and the mask fraction
+        base_fn, static_kw = loss_fn, {}
+        if isinstance(loss_fn, functools.partial):
+            base_fn = loss_fn.func
+            static_kw = dict(loss_fn.keywords)
         loss_name = None
-        if loss_fn is L.bernoulli_fn:
-            loss_name = "bernoulli"
-        elif loss_fn is L.fe_fn:
+        mask_perc = None
+        if base_fn is L.bernoulli_fn:
+            if static_kw.get("_reduction", "sum") == "sum":
+                loss_name = "bernoulli"
+        elif base_fn is L.fe_fn:
             loss_name = "gaussian"
-        elif loss_fn is L.zero_fn or loss_fn is None:
+        elif base_fn is L.bernoulli_fn_mask:
+            loss_name = "bernoulli_mask"
+            mask_perc = float(static_kw.get("perc", 0.5))
+        elif base_fn is L.fe_fn_mask:
+            loss_name = "gaussian_mask"
+            mask_perc = float(static_kw.get("perc", 0.5))
+        elif base_fn is L.zero_fn or loss_fn is None:
             loss_name = "none"
         if loss_name is None:
             return None
-        if output_var is not None:
-            # trailing-PC joint sampler: packed Langevin phase only — the
-            # sensory site is an unclamped latent, so any sensory loss or
-            # warm/capture request goes to the engine
-            if loss_name != "none" or mode != "langevin" or wants_traj:
-                return None
+        if output_var is not None and loss_name != "none":
+            # trailing-PC joint samplers are unclamped by construction
+            # (reference figure_3.py:47-55)
+            return None
         cap = {}
         if wants_traj:
             cap = {
@@ -386,7 +400,7 @@ class PCTrainer:
                 "capture_outputs": cfg.capture_outputs,
             }
         base = {"loss": loss_name, "mode": mode, "activation": activation,
-                "output_var": output_var}
+                "output_var": output_var, "mask_perc": mask_perc}
         if not plan.update_p_at:
             return {**base, "with_pgrads": False, "mixing": 0, **cap}
         if plan.update_p_at != (plan.T - 1,):
@@ -411,6 +425,14 @@ class PCTrainer:
         input_var = loss_fn_kwargs.get("_var") or 1.0
         stride = dispatch.get("capture_stride", 0)
         on_tpu = jax.default_backend() == "tpu"
+        # set_x_lr folds into the kernel's static lr (the host mirror is
+        # exact — eligibility rejects unknown/dynamic scales).  Both SGD and
+        # Adam updates are linear in lr, and the engine's Langevin std is
+        # sqrt(lr0*var) * scale = sqrt((lr0*scale) * (var*scale)).
+        scale = self._lr_scale_host
+        lr_eff = self.opt_x_spec.lr * scale
+        if langevin_var is not None:
+            langevin_var = langevin_var * scale
         if dispatch["mode"] == "warm":
             # full-chain Adam MAP descent (+ optional last-step pgrads); the
             # final Adam moments come back so continuation calls (no
@@ -419,10 +441,10 @@ class PCTrainer:
             # (pc_trainer.py:741-752)
             phase = dict(
                 T=0,
-                lr=self.opt_x_spec.lr,
+                lr=lr_eff,
                 noise_var=None,
                 warm_T=self.T,
-                warm_lr=self.opt_x_spec.lr,
+                warm_lr=lr_eff,
                 warm_b1=self.opt_x_spec.betas[0],
                 warm_b2=self.opt_x_spec.betas[1],
                 warm_eps=self.opt_x_spec.eps,
@@ -430,12 +452,13 @@ class PCTrainer:
                 emit_warm_opt_state=True,
             )
         else:
-            phase = dict(T=self.T, lr=self.opt_x_spec.lr, noise_var=langevin_var)
+            phase = dict(T=self.T, lr=lr_eff, noise_var=langevin_var)
         bf16 = self.use_pallas_bf16
         if bf16 == "auto":
             # bf16 MXU pays off once the chain is compute-bound (wide batch);
             # small batches stay f32 so kernel-vs-engine parity is exact
             bf16 = on_tpu and inputs.shape[0] >= 1024
+        output_pc = dispatch.get("output_var") is not None
         outs = mcpc_chain_pallas(
             gen.params,
             gen.latents,
@@ -450,6 +473,7 @@ class PCTrainer:
             return_scalars=True,
             bf16_matmul=bool(bf16),
             output_var=dispatch.get("output_var"),
+            mask_perc=dispatch.get("mask_perc"),
             # off-TPU (use_pallas=True forced, e.g. in tests) run interpreted
             interpret=not on_tpu,
             **phase,
@@ -457,10 +481,13 @@ class PCTrainer:
         outs = list(outs)
         new_latents, pgrads = outs[0], outs[1]
         k = 2
-        traj = None
+        traj = traj3 = None
         if stride:
             traj = outs[k]
             k += 1
+            if output_pc:
+                traj3 = outs[k]
+                k += 1
         scalars = outs[k]
         k += 1
         warm_mv = outs[k] if dispatch["mode"] == "warm" else None
@@ -472,24 +499,44 @@ class PCTrainer:
         ):
             import optax
         if warm_mv is not None:
-            d0 = gen.model.modules[gen.model.linear_indices[0]].out_dim
-            d1 = gen.model.modules[gen.model.linear_indices[1]].out_dim
+            from ..ops.pallas_mcpc import aligned_layout
 
-            def split(packed):
-                return (
-                    packed[:, :d0],
-                    packed[:, d0 : d0 + d1],
-                    packed[:, d0 + d1 :],
+            dims = [
+                gen.model.modules[i].out_dim
+                for i in gen.model.linear_indices[:-1]
+            ]
+            _, offs, _ = aligned_layout(dims)
+            D_out = gen.model.modules[gen.model.linear_indices[-1]].out_dim
+
+            def split(packed, tail=None):
+                # aligned packed [B, XW] -> per-latent blocks (+ the trailing
+                # PC site's moments for output-PC models)
+                blocks = tuple(
+                    packed[:, o : o + d] for o, d in zip(offs, dims)
                 )
+                if tail is not None:
+                    blocks = blocks + (tail[:, :D_out],)
+                return blocks
 
-            self._opt_x_state = (
-                optax.ScaleByAdamState(
+            mu_t = split(warm_mv[0], warm_mv[2] if output_pc else None)
+            nu_t = split(warm_mv[1], warm_mv[3] if output_pc else None)
+            # init through the spec so the state pytree always matches what
+            # the engine's optax chain expects, then graft the kernel's
+            # final moments into the (unique) ScaleByAdamState leaf
+            fresh = self.opt_x_spec.make().init({"latents": gen.latents})
+            is_adam = lambda s: isinstance(s, optax.ScaleByAdamState)
+            grafted = jax.tree_util.tree_map(
+                lambda s: s._replace(
                     count=jnp.asarray(self.T, jnp.int32),
-                    mu={"latents": split(warm_mv[0])},
-                    nu={"latents": split(warm_mv[1])},
-                ),
-                optax.EmptyState(),
+                    mu={"latents": mu_t},
+                    nu={"latents": nu_t},
+                )
+                if is_adam(s)
+                else s,
+                fresh,
+                is_leaf=is_adam,
             )
+            self._opt_x_state = grafted
         if dispatch["with_pgrads"] and self.opt_p_spec is not None:
             from .engine import tree_scale
 
@@ -513,37 +560,48 @@ class PCTrainer:
             "loss": loss_v,
             "energy": energy_v,
             "overall": loss_v + cfg.energy_coefficient * energy_v,
-            "x_lr_scale": jnp.ones_like(loss_v),
+            "x_lr_scale": jnp.full_like(loss_v, scale),
             "stop_t": jnp.full((), -1, dtype=jnp.int32),
         }
         if traj is not None:
+            from ..ops.pallas_mcpc import aligned_layout
+
             dims = [
                 gen.model.modules[i].out_dim
                 for i in gen.model.linear_indices[:-1]
             ]
-            offs = [0, dims[0], dims[0] + dims[1], sum(dims)]
+            _, offs, _ = aligned_layout(dims)
+            D_out = gen.model.modules[gen.model.linear_indices[-1]].out_dim
             if dispatch.get("capture_xs"):
-                results["xs"] = tuple(
-                    traj[:, :, offs[i] : offs[i + 1]] for i in range(3)
+                xs = tuple(
+                    traj[:, :, o : o + d] for o, d in zip(offs, dims)
                 )
+                if output_pc:
+                    xs = xs + (traj3[:, :, :D_out],)
+                results["xs"] = xs
             if dispatch.get("capture_representations"):
                 ri = cfg.rep_index
                 results["representations"] = traj[
                     :, :, offs[ri] : offs[ri] + dims[ri]
                 ]
             if dispatch.get("capture_outputs"):
-                # outputs_t = act(x2_t) @ W3 + b3 — the same pre-update
-                # forward the engine records (the trajectory holds the
-                # pre-update latents at each captured step)
-                x2 = traj[:, :, dims[0] + dims[1] :]
-                h2 = (
-                    jnp.maximum(x2, 0.0)
-                    if dispatch["activation"] == "relu"
-                    else jnp.tanh(x2)
-                )
-                results["outputs"] = (
-                    h2 @ chain_last_linear["w"] + chain_last_linear["b"]
-                )
+                if output_pc:
+                    # the trailing PC site IS the model output in train-mode
+                    # forwards (PCLayer returns x, reference pc_layer.py:300)
+                    results["outputs"] = traj3[:, :, :D_out]
+                else:
+                    # outputs_t = act(x2_t) @ W3 + b3 — the same pre-update
+                    # forward the engine records (the trajectory holds the
+                    # pre-update latents at each captured step)
+                    x2 = traj[:, :, offs[2] : offs[2] + dims[2]]
+                    h2 = (
+                        jnp.maximum(x2, 0.0)
+                        if dispatch["activation"] == "relu"
+                        else jnp.tanh(x2)
+                    )
+                    results["outputs"] = (
+                        h2 @ chain_last_linear["w"] + chain_last_linear["b"]
+                    )
         return results
 
     # -- core entry point -------------------------------------------------------
@@ -689,6 +747,11 @@ class PCTrainer:
         self._opt_x_state = new_state.opt_x_state
         self._opt_p_state = new_state.opt_p_state
         self._lr_scale = new_state.lr_scale
+        if cfg.dynamic_x_lr:
+            # the live scale now exists only device-side; invalidate the
+            # host mirror so the kernel path can't fold a stale value
+            # (it re-arms via set_x_lr / recreate_optimizer_x)
+            self._lr_scale_host = None
 
         if not is_return_results_every_t:
             results = _last_only_results(results)

@@ -4,7 +4,14 @@ from .classifier import (
     test_classifier,
     train_linear_classifier,
 )
-from .fid import FIDStats, compute_fid, compute_stats, get_fid, make_mnist_fid_stats
+from .fid import (
+    FIDStats,
+    compute_fid,
+    compute_stats,
+    get_fid,
+    make_inception_features,
+    make_mnist_fid_stats,
+)
 from .metrics import (
     KLdivergence,
     get_marginal_likelihood,
@@ -23,6 +30,7 @@ __all__ = [
     "compute_fid",
     "compute_stats",
     "get_fid",
+    "make_inception_features",
     "make_mnist_fid_stats",
     "KLdivergence",
     "get_marginal_likelihood",

@@ -77,6 +77,16 @@ def pixel_features(images: np.ndarray) -> np.ndarray:
     return np.asarray(images).reshape(len(images), -1)
 
 
+def make_inception_features(weights=None, batch_size: int = 64) -> FeatureFn:
+    """The paper-comparable extractor: pytorch-fid's InceptionV3-pool3 graph
+    (eval/inception.py) fed from a torch state dict ($MCPC_INCEPTION_WEIGHTS
+    or ``weights=``).  Raises FileNotFoundError offline — callers keep the
+    ResNet-9/pixel extractors as the dependency-free default."""
+    from .inception import make_inception_features as _make
+
+    return _make(weights=weights, batch_size=batch_size)
+
+
 def make_resnet9_features(state, batch_size: int = 500) -> FeatureFn:
     """Feature extractor from a trained ResNet-9 (models/resnet9.py)."""
     from ..models.resnet9 import ResNet9, make_feature_fn

@@ -1,3 +1,15 @@
-from .pallas_mcpc import mcpc_chain_pallas, model_activation, supports_model
+from .pallas_mcpc import (
+    aligned_layout,
+    mcpc_chain_pallas,
+    model_activation,
+    output_pc_var,
+    supports_model,
+)
 
-__all__ = ["mcpc_chain_pallas", "model_activation", "supports_model"]
+__all__ = [
+    "aligned_layout",
+    "mcpc_chain_pallas",
+    "model_activation",
+    "output_pc_var",
+    "supports_model",
+]

@@ -21,7 +21,9 @@ scan engine — parity-tested against it):
 
     err_l = x_l - mu_l                      (mu0 = b0: zeros pseudo-input)
     s     = dLoss/dlogits   (Bernoulli: sigmoid(logits) - y;
-                             Gaussian: (logits - y)/var;  unclamped: 0)
+                             Gaussian: (logits - y)/var;  unclamped: 0;
+                             masked variants zero s outside the clamped
+                             trailing pixel window, utils/model.py:24-33)
     dE/dx2 = err2 + act'(x2) * (s @ W3ᵀ)
     dE/dx1 = err1 - act'(x1) * (err2 @ W2ᵀ)
     dE/dx0 = err0 - act'(x0) * (err1 @ W1ᵀ)
@@ -38,6 +40,23 @@ The optional Adam warm-start phase covers the reference's PC MAP descent
 (utils/model.py:121-131); with ``warm_pgrads`` it also emits the final-step
 parameter gradients, i.e. a full PC training step (update_x='all' Adam,
 update_p='last', reference training_evaluation.py:16-39) in one dispatch.
+
+Layout.  Latents live packed in one VMEM buffer X = [x0 | x1 | x2] whose
+blocks are LANE-ALIGNED: each block is padded to a multiple of 128 lanes
+(pad lanes pinned to exactly zero), so per-block slices never relayout.
+For the canonical architectures the aligned width equals the physical
+padded width of the compact layout (e.g. 20+128+128 -> 384 = pad(276)), so
+alignment is free.  Two matmul strategies share this layout:
+
+* ``blockdiag`` — one ``act(X) @ wf`` per direction against the padded
+  block-diagonal weight matrix.  ~3x extra (zero-block) FLOPs for ~3x fewer
+  MXU dispatches: optimal when the chain is latency-bound (small batch).
+* ``perlayer`` — three aligned-slice matmuls per direction, touching only
+  the real weight blocks: optimal when the chain is compute-bound (wide
+  batch), where the zero blocks would waste most of the MXU.
+
+The (optionally bfloat16) forward and transposed weights are staged ONCE
+per dispatch — never converted or transposed inside the step loop.
 """
 
 from __future__ import annotations
@@ -120,6 +139,21 @@ def output_pc_var(model: PCModel) -> tp.Optional[float]:
     return float(var)
 
 
+def _pad128(d: int) -> int:
+    return -(-d // 128) * 128
+
+
+def aligned_layout(dims: tp.Sequence[int]):
+    """Lane-aligned packed layout for latent dims: (padded widths, block
+    offsets, total width).  Every block starts at a multiple of 128."""
+    pads = tuple(_pad128(d) for d in dims)
+    offs, o = [], 0
+    for p in pads:
+        offs.append(o)
+        o += p
+    return pads, tuple(offs), o
+
+
 # Scoped-VMEM ceiling for the chain kernel.  The Mosaic default (16 MiB)
 # is sized for kernels that share the core; this kernel owns the chip for
 # the whole chain, so let it use most of the v5e's 128 MiB — the fully
@@ -138,18 +172,29 @@ def _pick_batch_tile(B: int, cap: int = 1024) -> int:
     return B
 
 
+def _loss_mask(loss: str, D: int, mask_k: int, shape2d):
+    """Column mask for the masked sensory losses: True on the trailing
+    ``mask_k`` real features (reference utils/model.py:24-33 clamp only the
+    last round(D*perc) pixels).  ``shape2d`` is (rows, pD)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
+    return jnp.logical_and(col >= D - mask_k, col < D)
+
+
 def _traj_scalar_rows(traj, params_flat, target, dims, activation, loss,
-                      inv_var):
+                      inv_var, mask_k=0, traj3=None, inv_var3=None):
     """Pre-update loss/energy sums for each captured step, recomputed from
-    the packed latent trajectory (the same forward the engine runs per step,
-    pc_trainer.py:777-795).  ``traj`` is [n_cap, B, d0+d1+d2];
-    ``params_flat`` = (b0, w1, b1, w2, b2, w3, b3).  Returns
-    ([n_cap] loss, [n_cap] energy)."""
+    the aligned packed latent trajectory (the same forward the engine runs
+    per step, pc_trainer.py:777-795).  ``traj`` is [n_cap, B, XW] aligned;
+    ``params_flat`` = (b0, w1, b1, w2, b2, w3, b3) (real, unpadded).  With
+    ``traj3`` (output-PC joint samplers) the trailing site's energy
+    0.5*inv_var3*(x3-logits)^2 is added.  Returns ([n_cap] loss, [n_cap]
+    energy)."""
     b0, w1, b1, w2, b2, w3, b3 = params_flat
     d0, d1, d2, D = dims
-    x0 = traj[:, :, 0:d0]
-    x1 = traj[:, :, d0 : d0 + d1]
-    x2 = traj[:, :, d0 + d1 :]
+    _, offs, _ = aligned_layout((d0, d1, d2))
+    x0 = traj[:, :, offs[0] : offs[0] + d0]
+    x1 = traj[:, :, offs[1] : offs[1] + d1]
+    x2 = traj[:, :, offs[2] : offs[2] + d2]
     act = (lambda v: jnp.maximum(v, 0.0)) if activation == "relu" else jnp.tanh
     # full-f32 MXU passes: the TPU bf16 default would give these scalar rows
     # ~2^-8 relative error while the kernel-emitted final row is full f32
@@ -163,34 +208,51 @@ def _traj_scalar_rows(traj, params_flat, target, dims, activation, loss,
         + jnp.sum(err1 * err1, axis=(1, 2))
         + jnp.sum(err2 * err2, axis=(1, 2))
     )
-    if loss == "bernoulli":
+    if traj3 is not None:
+        err3 = traj3[:, :, :D] - logits
+        energy = energy + 0.5 * inv_var3 * jnp.sum(err3 * err3, axis=(1, 2))
+    if loss.startswith("bernoulli"):
         y = target[None, :, :]
-        loss_v = jnp.sum(
+        elem = (
             jnp.maximum(logits, 0.0)
             - logits * y
-            + jnp.log1p(jnp.exp(-jnp.abs(logits))),
-            axis=(1, 2),
+            + jnp.log1p(jnp.exp(-jnp.abs(logits)))
         )
-    elif loss == "gaussian":
-        loss_v = 0.5 * inv_var * jnp.sum(
-            (logits - target[None, :, :]) ** 2, axis=(1, 2)
-        )
+    elif loss.startswith("gaussian"):
+        elem = 0.5 * inv_var * (logits - target[None, :, :]) ** 2
     else:
-        loss_v = jnp.zeros(traj.shape[0], jnp.float32)
-    return loss_v, energy
+        return jnp.zeros(traj.shape[0], jnp.float32), energy
+    if loss.endswith("_mask"):
+        col = jax.lax.broadcasted_iota(jnp.int32, elem.shape[1:], 1)
+        elem = jnp.where(col >= D - mask_k, elem, 0.0)
+    return jnp.sum(elem, axis=(1, 2)), energy
+
+
+def _uniforms(shape):
+    """(u1, u2) uniform pairs from on-core random bits via exponent-bitcast:
+    (bits>>9)|0x3F800000 reinterpreted as float32 lies in [1, 2), so
+    u1 = 2 - f ∈ (0, 1] (safe for log) and u2 = f - 1 ∈ [0, 1)."""
+    f1 = pltpu.bitcast(
+        (pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 9)
+        | jnp.uint32(0x3F800000),
+        jnp.float32,
+    )
+    f2 = pltpu.bitcast(
+        (pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 9)
+        | jnp.uint32(0x3F800000),
+        jnp.float32,
+    )
+    return 2.0 - f1, f2 - 1.0
 
 
 def _normals(shape):
-    """Standard normals via Box-Muller over on-core random bits, using both
-    the cos and sin branches so each (log, sqrt) pair yields two normals."""
+    """Standard normals via Box-Muller, using both the cos and sin branches
+    so each (log, sqrt) pair yields two normals.  (Used by the unpacked
+    baseline kernel; the packed kernel amortizes the pair across two steps.)
+    """
     rows, cols = shape
     half = (cols + 1) // 2
-    b1 = pltpu.prng_random_bits((rows, half))
-    b2 = pltpu.prng_random_bits((rows, half))
-    # mask to 24 low bits (int32-safe: result is non-negative), then scale to
-    # uniforms in (0, 1]
-    u1 = (b1 & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
-    u2 = (b2 & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
+    u1, u2 = _uniforms((rows, half))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     theta = 2.0 * np.pi * u2
     z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
@@ -207,53 +269,69 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         emit_scalars: bool = False,
                         emit_warm_opt_state: bool = False,
                         tile_B: int = 0,
-                        output_pc: bool = False):
-    """Packed variant: one block-diagonal matmul per direction per step.
-
-    All PC-site predictions depend only on the *current* latents, so the
-    forward projections mu1/mu2/logits fuse into a single
-    ``act(X) @ blockdiag(W1, W2, W3)`` with X = [x0 | x1 | x2], and the
-    backward projections into one matmul against its transpose.  This trades
-    ~3x extra (zero-block) FLOPs for ~5x fewer MXU dispatches — a win because
-    the small per-layer matmuls are latency-bound, not FLOP-bound.
-    """
+                        output_pc: bool = False,
+                        inv_var3: float = 1.0,
+                        mask_k: int = 0,
+                        layout: str = "blockdiag"):
+    """Aligned-packed chain kernel; see the module docstring for layout and
+    matmul-strategy notes."""
     d0, d1, d2, D = dims
-    c0, c1, c2 = 0, d0, d0 + d1  # column offsets of x0/x1/x2 in X
-    xw = d0 + d1 + d2            # total latent width
-    o1_, o2_, o3_ = 0, d1, d1 + d2  # column offsets of mu1/mu2/logits
-    ow = d1 + d2 + D
-    xw_pad = -(-xw // 128) * 128
+    (p0, p1, p2), (O0, O1, O2), XW = aligned_layout((d0, d1, d2))
+    (q1, q2, pD), (Q1, Q2, Q3), OW = aligned_layout((d1, d2, D))
+    perlayer = layout == "perlayer"
+    # skip the output-layer backward matmul when nothing clamps the output
+    has_s = output_pc or loss != "none"
 
     def kernel(
         seed_ref,  # SMEM [1]
-        wf, b0, b_cat,  # packed params: blockdiag fwd weights, prior bias, cat biases
-        x_in,  # packed latents tile [tile_B, xw]
-        y,  # target tile [tile_B, D]; with output_pc this is x3_in (the
-            # trailing PC site's latent — the sensory layer itself)
+        wf, wfT,  # aligned block-diagonal weights [XW,OW] and transpose
+        b0p, b_cat,  # aligned prior bias [p0] / concatenated biases [OW]
+        x_in,  # aligned packed latents tile [tile_B, XW]
+        y,  # padded target tile [tile_B, pD]; with output_pc this is x3_in
         x_out,  # packed latents out tile
-        *rest,  # outputs: [x3_out] when output_pc, then [m_out, v_out] when
-                # emit_warm_opt_state, then [gw_full, gb_cat, gb0] when
-                # with_pgrads, then [scal] when emit_scalars, then
-                # [traj (HBM)] when capture_stride > 0;
-                # scratch: [cap_buf, dma_sem]
+        *rest,  # outputs: [x3_out] when output_pc, then [m_out, v_out
+                # (, m3_out, v3_out)] when emit_warm_opt_state, then
+                # [gw_full, gb_cat, gb0] when with_pgrads, then [scal] when
+                # emit_scalars, then [traj (HBM) (, traj3)] when
+                # capture_stride > 0; scratch: noise caches + dma sems
     ):
         k = 0
         if output_pc:
-            x3_out = rest[0]  # trailing latent tile [tile_B, D]
+            x3_out = rest[0]  # trailing latent tile [tile_B, pD]
             k = 1
         if emit_warm_opt_state:
-            m_out, v_out = rest[k : k + 2]  # final Adam moments [tile_B, xw]
+            m_out, v_out = rest[k : k + 2]  # final Adam moments [tile_B, XW]
             k += 2
+            if output_pc:
+                m3_out, v3_out = rest[k : k + 2]
+                k += 2
         if with_pgrads:
             gw_full, gb_cat, gb0 = rest[k : k + 3]
             k += 3
         if emit_scalars:
             scal = rest[k]  # VMEM [1, 128]: final-step pre-update loss/energy
             k += 1
+        traj_ref = traj3_ref = None
         if capture_stride > 0:
-            traj_ref = rest[k]       # HBM [n_cap, B, xw_pad]
-            cap_buf = rest[k + 1]    # VMEM staging [tile_B, xw_pad]
-            dma_sem = rest[k + 2]
+            traj_ref = rest[k]  # HBM [n_cap, B, XW]
+            k += 1
+            if output_pc:
+                traj3_ref = rest[k]
+                k += 1
+        scratch = rest[k:]
+        k = 0
+        if noise_std > 0.0:
+            z_use, z_buf = scratch[k : k + 2]  # [tile_B, XW] noise caches
+            k += 2
+            if output_pc:
+                z3_use, z3_buf = scratch[k : k + 2]
+                k += 2
+        if capture_stride > 0:
+            dma_sem = scratch[k]
+            k += 1
+            if output_pc:
+                dma_sem3 = scratch[k]
+                k += 1
         tile_i = pl.program_id(0)
         if noise_std > 0.0:  # seeding is TPU-only; skip on deterministic runs
             # decorrelate the noise streams of the batch tiles
@@ -275,56 +353,101 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             x3_out[...] = y[...]
 
         def mm(a, b):
+            # b (weights) is staged in the matmul dtype already
+            if bf16_matmul:
+                a = a.astype(jnp.bfloat16)
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        def mmT(a, b):
+            # aᵀ @ b without materializing the transpose
             if bf16_matmul:
                 a = a.astype(jnp.bfloat16)
                 b = b.astype(jnp.bfloat16)
-            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         def act(X):
             if activation == "relu":
                 return jnp.maximum(X, 0.0)
             return jnp.tanh(X)
 
-        def grads_and_V(X):
-            """Energy gradient w.r.t. the packed latents, plus the packed
-            backward vector V = [err1 | err2 | -s], H = act(X) (reused for
-            the Hebbian parameter grads), err_cat/logits (reused for the
-            scalar loss/energy emission), and — with output_pc — the
-            trailing site's error err3 = x3 - logits."""
+        def sensory_s(logits):
+            """dLoss/dlogits on the padded [*, pD] logits block."""
+            if output_pc:
+                # trailing PC site: the sensory layer is an unclamped latent
+                # with energy 0.5*inv_var3*(x3 - logits)^2 — its dE/dlogits
+                # has exactly the Gaussian-loss form with y := x3
+                err3 = x3_out[...] - logits
+                return -err3 * inv_var3, err3
+            if loss == "bernoulli":
+                s = jax.nn.sigmoid(logits) - y[...]
+            elif loss == "gaussian":
+                s = (logits - y[...]) * inv_var
+            elif loss == "bernoulli_mask":
+                s = jnp.where(
+                    _loss_mask(loss, D, mask_k, logits.shape),
+                    jax.nn.sigmoid(logits) - y[...],
+                    0.0,
+                )
+            elif loss == "gaussian_mask":
+                s = jnp.where(
+                    _loss_mask(loss, D, mask_k, logits.shape),
+                    (logits - y[...]) * inv_var,
+                    0.0,
+                )
+            else:
+                s = jnp.zeros_like(logits)
+            return s, None
+
+        def eval_grads(X):
+            """One fused forward+backward over the current latents.
+
+            Returns (G [B,XW], blocks dict) where blocks holds H, err0/E1/E2,
+            S (=dLoss/dlogits, padded), logits, err3 — everything the pgrad /
+            scalar emitters reuse."""
             H = act(X)
             if activation == "relu":
                 dH = jnp.where(X > 0, 1.0, 0.0)
             else:  # tanh' = 1 - tanh^2
                 dH = 1.0 - H * H
-            MU = mm(H, wf[...]) + b_cat[...][None, :]  # [B, d1+d2+D]
-
-            err0 = X[:, c1 - d0 : c1] - b0[...][None, :]
-            err1 = X[:, c1 : c1 + d1] - MU[:, o1_ : o1_ + d1]
-            err2 = X[:, c2 : c2 + d2] - MU[:, o2_ : o2_ + d2]
-            logits = MU[:, o3_ : o3_ + D]
-
-            err3 = None
-            if output_pc:
-                # trailing PC site: the sensory layer is an unclamped latent
-                # with energy 0.5*inv_var*(x3 - logits)^2 — its dE/dlogits
-                # has exactly the Gaussian-loss form with y := x3
-                err3 = x3_out[...] - logits
-                s = -err3 * inv_var
-            elif loss == "bernoulli":
-                s = jax.nn.sigmoid(logits) - y[...]
-            elif loss == "gaussian":
-                s = (logits - y[...]) * inv_var
+            if perlayer:
+                mu1 = mm(H[:, O0 : O0 + p0], wf[O0 : O0 + p0, Q1 : Q1 + q1]) \
+                    + b_cat[Q1 : Q1 + q1][None, :]
+                mu2 = mm(H[:, O1 : O1 + p1], wf[O1 : O1 + p1, Q2 : Q2 + q2]) \
+                    + b_cat[Q2 : Q2 + q2][None, :]
+                logits = mm(H[:, O2 : O2 + p2], wf[O2 : O2 + p2, Q3 : Q3 + pD]) \
+                    + b_cat[Q3 : Q3 + pD][None, :]
             else:
-                s = jnp.zeros_like(logits)
+                MU = mm(H, wf[...]) + b_cat[...][None, :]  # [B, OW]
+                mu1 = MU[:, Q1 : Q1 + q1]
+                mu2 = MU[:, Q2 : Q2 + q2]
+                logits = MU[:, Q3 : Q3 + pD]
+            err0 = X[:, O0 : O0 + p0] - b0p[...][None, :]
+            E1 = X[:, O1 : O1 + p1] - mu1
+            E2 = X[:, O2 : O2 + p2] - mu2
+            S, err3 = sensory_s(logits)
 
-            # V @ wfᵀ = [err1@W1ᵀ | err2@W2ᵀ | -s@W3ᵀ]
-            V = jnp.concatenate([err1, err2, -s], axis=1)
-            back = mm(V, wf[...].T)  # [B, xw]
-            err_cat = jnp.concatenate([err0, err1, err2], axis=1)
+            if perlayer:
+                back0 = mm(E1, wfT[Q1 : Q1 + q1, O0 : O0 + p0])
+                back1 = mm(E2, wfT[Q2 : Q2 + q2, O1 : O1 + p1])
+                if has_s:
+                    back2 = mm(-S, wfT[Q3 : Q3 + pD, O2 : O2 + p2])
+                else:
+                    back2 = jnp.zeros((X.shape[0], p2), jnp.float32)
+                back = jnp.concatenate([back0, back1, back2], axis=1)
+            else:
+                # V @ wfT = [E1@W1ᵀ | E2@W2ᵀ | -S@W3ᵀ]
+                V = jnp.concatenate([E1, E2, -S], axis=1)
+                back = mm(V, wfT[...])  # [B, XW]
+            err_cat = jnp.concatenate([err0, E1, E2], axis=1)
             G = err_cat - dH * back
-            return G, V, H, err0, err_cat, logits, err3
+            blocks = dict(H=H, err0=err0, E1=E1, E2=E2, S=S, logits=logits,
+                          err3=err3)
+            return G, blocks
 
-        def scal_row(err_cat, logits, err3=None):
+        def scal_row(bl):
             """[1, 128] row: lane 0 = sensory loss, lane 1 = layer energy —
             both batch-tile sums (accumulated across tiles), computed from
             the PRE-update state (the engine/reference scalar convention,
@@ -332,31 +455,91 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             from the kernel; per-captured-step scalars are recomputed from
             the HBM trajectory outside the kernel (mcpc_chain_pallas), which
             keeps the hot loop free of the O(n_cap) masked accumulator."""
-            energy_s = 0.5 * jnp.sum(err_cat * err_cat)
+            energy_s = 0.5 * (
+                jnp.sum(bl["err0"] * bl["err0"])
+                + jnp.sum(bl["E1"] * bl["E1"])
+                + jnp.sum(bl["E2"] * bl["E2"])
+            )
             if output_pc:
-                energy_s += 0.5 * inv_var * jnp.sum(err3 * err3)
-            if loss == "bernoulli":
-                loss_s = jnp.sum(
-                    jnp.maximum(logits, 0.0)
-                    - logits * y[...]
-                    + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+                energy_s += 0.5 * inv_var3 * jnp.sum(bl["err3"] * bl["err3"])
+            # real-feature slices: the pD pad lanes would otherwise pollute
+            # the Bernoulli sum (bce(0,0) = log 2 per pad lane)
+            lg = bl["logits"][:, :D]
+            yv = y[:, :D]
+            if loss.startswith("bernoulli"):
+                elem = (
+                    jnp.maximum(lg, 0.0)
+                    - lg * yv
+                    + jnp.log1p(jnp.exp(-jnp.abs(lg)))
                 )
-            elif loss == "gaussian":
-                loss_s = 0.5 * inv_var * jnp.sum((logits - y[...]) ** 2)
+            elif loss.startswith("gaussian"):
+                elem = 0.5 * inv_var * (lg - yv) ** 2
             else:
+                elem = None
+            if elem is None:
                 loss_s = jnp.zeros(())
+            else:
+                if loss.endswith("_mask"):
+                    col = jax.lax.broadcasted_iota(jnp.int32, elem.shape, 1)
+                    elem = jnp.where(col >= D - mask_k, elem, 0.0)
+                loss_s = jnp.sum(elem)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
             return jnp.where(
                 lane == 0, loss_s, jnp.where(lane == 1, energy_s, 0.0)
             )
 
-        def accum_pgrads(V, H, err0):
-            # Hᵀ @ [-err1 | -err2 | s]: diagonal blocks = grads
-            gw_full[...] += mm(H.T, -V)
-            gb_cat[...] += jnp.sum(-V, axis=0)
-            gb0[...] += jnp.sum(-err0, axis=0)
+        def accum_pgrads(bl):
+            """Hebbian parameter grads: gW_l = -H_{l-1}ᵀ err_l (output layer:
+            +H2ᵀ S).  blockdiag computes the full HᵀV product (off-diagonal
+            blocks are discarded at slice-out); perlayer touches only the
+            real blocks."""
+            H = bl["H"]
+            if perlayer:
+                gw_full[O0 : O0 + p0, Q1 : Q1 + q1] += mmT(
+                    H[:, O0 : O0 + p0], -bl["E1"]
+                )
+                gw_full[O1 : O1 + p1, Q2 : Q2 + q2] += mmT(
+                    H[:, O1 : O1 + p1], -bl["E2"]
+                )
+                gw_full[O2 : O2 + p2, Q3 : Q3 + pD] += mmT(
+                    H[:, O2 : O2 + p2], bl["S"]
+                )
+                gb_cat[Q1 : Q1 + q1] += jnp.sum(-bl["E1"], axis=0)
+                gb_cat[Q2 : Q2 + q2] += jnp.sum(-bl["E2"], axis=0)
+                gb_cat[Q3 : Q3 + pD] += jnp.sum(bl["S"], axis=0)
+            else:
+                V = jnp.concatenate([bl["E1"], bl["E2"], -bl["S"]], axis=1)
+                gw_full[...] += mmT(H, -V)
+                gb_cat[...] += jnp.sum(-V, axis=0)
+            gb0[...] += jnp.sum(-bl["err0"], axis=0)
 
-        def body(m_ref, v_ref):
+        # validity mask: True on real-latent lanes, False on block padding —
+        # keeps pad lanes pinned to zero under noise
+        def valid_mask(shape2d):
+            col = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
+            return (
+                (col < d0)
+                | ((col >= O1) & (col < O1 + d1))
+                | ((col >= O2) & (col < O2 + d2))
+            )
+
+        def gen_noise_pair(t, use_ref, buf_ref, mask):
+            """Two-step cached Box-Muller: even steps generate BOTH branches
+            (one log/sqrt/cos/sin per pair), odd steps reuse the cached sin
+            branch — halving the per-step transcendental load."""
+            @pl.when(t % 2 == 0)
+            def _():
+                u1, u2 = _uniforms(use_ref.shape)
+                r = jnp.sqrt(-2.0 * jnp.log(u1))
+                theta = (2.0 * np.pi) * u2
+                use_ref[...] = jnp.where(mask, r * jnp.cos(theta), 0.0)
+                buf_ref[...] = jnp.where(mask, r * jnp.sin(theta), 0.0)
+
+            @pl.when(t % 2 == 1)
+            def _():
+                use_ref[...] = buf_ref[...]
+
+        def body(m_ref, v_ref, m3_ref, v3_ref):
             # -- optional Adam MAP warm start (the reference's PC phase:
             # utils/model.py:121-131 runs T_pc Adam steps on the latents
             # before the Langevin chain) -----------------------------------
@@ -364,32 +547,50 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 warm_T, warm_lr, wb1, wb2, weps = warm
                 m_ref[...] = jnp.zeros_like(m_ref)
                 v_ref[...] = jnp.zeros_like(v_ref)
+                if output_pc:
+                    m3_ref[...] = jnp.zeros_like(m3_ref)
+                    v3_ref[...] = jnp.zeros_like(v3_ref)
+
+                def adam_update(m_r, v_r, G):
+                    m = wb1 * m_r[...] + (1.0 - wb1) * G
+                    v = wb2 * v_r[...] + (1.0 - wb2) * G * G
+                    m_r[...] = m
+                    v_r[...] = v
+                    return m, v
 
                 def warm_step(t, carry):
                     # bias-correction powers carried incrementally — Mosaic
-                    # has no powf with a traced exponent
+                    # has no powf with a traced exponent.  The correction is
+                    # FOLDED into scalars:  mhat/(sqrt(vhat)+eps)
+                    #   = (c1/sqrt(c2)) * m / (sqrt(v) + eps/sqrt(c2)),
+                    # c1 = 1/(1-b1^t), c2 = 1/(1-b2^t) — one per-element
+                    # divide+sqrt instead of three divides+sqrt.
                     b1p, b2p = carry
                     X = x_out[...]
-                    G, V, H, err0, err_cat, logits, _ = grads_and_V(X)
+                    G, bl = eval_grads(X)
                     if warm_pgrads:
                         # PC training: update_p='last' takes the final
                         # step's pre-update gradients (pc_trainer.py:904-914)
                         @pl.when(t == warm_T - 1)
                         def _():
-                            accum_pgrads(V, H, err0)
+                            accum_pgrads(bl)
                     if emit_scalars and T == 0:
                         # pure-PC chain: the last pre-update scalars come
                         # from the warm phase's final step
                         @pl.when(t == warm_T - 1)
                         def _():
-                            scal[...] += scal_row(err_cat, logits)
-                    m = wb1 * m_ref[...] + (1.0 - wb1) * G
-                    v = wb2 * v_ref[...] + (1.0 - wb2) * G * G
-                    m_ref[...] = m
-                    v_ref[...] = v
-                    mhat = m / (1.0 - b1p)
-                    vhat = v / (1.0 - b2p)
-                    x_out[...] = X - warm_lr * mhat / (jnp.sqrt(vhat) + weps)
+                            scal[...] += scal_row(bl)
+                    rs2 = jax.lax.rsqrt(1.0 - b2p)  # = sqrt(c2)
+                    alpha = warm_lr / (1.0 - b1p) / rs2
+                    eps2 = weps / rs2
+                    m, v = adam_update(m_ref, v_ref, G)
+                    x_out[...] = X - alpha * m / (jnp.sqrt(v) + eps2)
+                    if output_pc:
+                        g3 = inv_var3 * bl["err3"]
+                        m3, v3 = adam_update(m3_ref, v3_ref, g3)
+                        x3_out[...] = x3_out[...] - alpha * m3 / (
+                            jnp.sqrt(v3) + eps2
+                        )
                     return (b1p * wb1, b2p * wb2)
 
                 jax.lax.fori_loop(
@@ -403,6 +604,9 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                     # across train_on_batch calls, pc_trainer.py:741-752)
                     m_out[...] = m_ref[...]
                     v_out[...] = v_ref[...]
+                    if output_pc:
+                        m3_out[...] = m3_ref[...]
+                        v3_out[...] = v3_ref[...]
 
             # -- Langevin phase ---------------------------------------------
             def step(t, _):
@@ -410,44 +614,57 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
 
                 if capture_stride > 0:
                     # record the pre-update latents every stride steps
-                    # (matches the engine's capture timing); staged through a
-                    # 128-aligned VMEM buffer — DMA slices must be
-                    # lane-aligned
+                    # (matches the engine's capture timing): DMA straight
+                    # from the aligned VMEM block to the HBM trajectory —
+                    # block starts are 128-lane-aligned by construction
                     @pl.when(t % capture_stride == 0)
                     def _():
-                        cap_buf[:, 0:xw] = X
                         slot = t // capture_stride
                         cp = pltpu.make_async_copy(
-                            cap_buf,
+                            x_out,
                             traj_ref.at[slot, pl.ds(tile_i * tile_B, tile_B)],
                             dma_sem,
                         )
                         cp.start()
+                        if output_pc:
+                            cp3 = pltpu.make_async_copy(
+                                x3_out,
+                                traj3_ref.at[
+                                    slot, pl.ds(tile_i * tile_B, tile_B)
+                                ],
+                                dma_sem3,
+                            )
+                            cp3.start()
+                            cp3.wait()
                         cp.wait()
 
-                G, V, H, err0, err_cat, logits, err3 = grads_and_V(X)
+                G, bl = eval_grads(X)
 
                 if emit_scalars:
                     @pl.when(t == T - 1)
                     def _():
-                        scal[...] += scal_row(err_cat, logits, err3)
+                        scal[...] += scal_row(bl)
 
                 if with_pgrads:
                     @pl.when(t >= mixing)
                     def _():
-                        accum_pgrads(V, H, err0)
+                        accum_pgrads(bl)
 
                 if noise_std > 0.0:
-                    x_out[...] = X - lr * G + noise_std * _normals(X.shape)
+                    gen_noise_pair(t, z_use, z_buf, valid_mask(X.shape))
+                    x_out[...] = X - lr * G + noise_std * z_use[...]
                 else:
                     x_out[...] = X - lr * G
                 if output_pc:
-                    # trailing latent's Langevin step: dE/dx3 = inv_var*err3
-                    g3 = inv_var * err3
+                    # trailing latent's Langevin step: dE/dx3 = inv_var3*err3
+                    g3 = inv_var3 * bl["err3"]
                     if noise_std > 0.0:
+                        col3 = jax.lax.broadcasted_iota(
+                            jnp.int32, x3_out.shape, 1
+                        )
+                        gen_noise_pair(t, z3_use, z3_buf, col3 < D)
                         x3_out[...] = (
-                            x3_out[...] - lr * g3
-                            + noise_std * _normals((x3_out.shape[0], D))
+                            x3_out[...] - lr * g3 + noise_std * z3_use[...]
                         )
                     else:
                         x3_out[...] = x3_out[...] - lr * g3
@@ -456,13 +673,21 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             jax.lax.fori_loop(0, T, step, ())
 
         if warm is not None:
-            pl.run_scoped(
-                body,
+            scopes = dict(
                 m_ref=pltpu.VMEM(x_in.shape, jnp.float32),
                 v_ref=pltpu.VMEM(x_in.shape, jnp.float32),
             )
+            if output_pc:
+                scopes["m3_ref"] = pltpu.VMEM((tile_B, pD), jnp.float32)
+                scopes["v3_ref"] = pltpu.VMEM((tile_B, pD), jnp.float32)
+                pl.run_scoped(body, **scopes)
+            else:
+                pl.run_scoped(
+                    lambda m_ref, v_ref: body(m_ref, v_ref, None, None),
+                    **scopes,
+                )
         else:
-            body(None, None)
+            body(None, None, None, None)
 
     return kernel
 
@@ -563,6 +788,26 @@ def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
     return kernel
 
 
+def _place_blocks(blocks, dims, total):
+    """Concatenate [B, d_i] blocks into an aligned [B, total] buffer (zeros
+    in block padding)."""
+    parts = []
+    for b, d in zip(blocks, dims):
+        p = _pad128(d)
+        parts.append(b)
+        if p > d:
+            parts.append(jnp.zeros((b.shape[0], p - d), jnp.float32))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _pad_cols(a, width):
+    if a.shape[1] == width:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros((a.shape[0], width - a.shape[1]), a.dtype)], axis=1
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -570,7 +815,8 @@ def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
         "with_pgrads", "interpret", "bf16_matmul", "packed",
         "warm_T", "warm_lr", "warm_b1", "warm_b2", "warm_eps",
         "capture_stride", "activation", "warm_pgrads", "return_scalars",
-        "batch_tile", "emit_warm_opt_state", "output_var",
+        "batch_tile", "emit_warm_opt_state", "output_var", "mask_perc",
+        "matmul_layout",
     ),
 )
 def mcpc_chain_pallas(
@@ -582,7 +828,7 @@ def mcpc_chain_pallas(
     T: int,
     lr: float,
     noise_var: tp.Optional[float] = 2.0,
-    loss: str = "bernoulli",  # 'bernoulli' | 'gaussian' | 'none'
+    loss: str = "bernoulli",  # 'bernoulli' | 'gaussian' (+'_mask') | 'none'
     input_var: float = 1.0,
     mixing: int = 0,
     with_pgrads: bool = False,
@@ -601,20 +847,34 @@ def mcpc_chain_pallas(
     batch_tile: tp.Optional[int] = None,
     emit_warm_opt_state: bool = False,
     output_var: tp.Optional[float] = None,
+    mask_perc: tp.Optional[float] = None,
+    matmul_layout: str = "auto",
 ):
     """Run (optionally) warm_T Adam MAP steps then T fused MCPC steps.
 
     Returns ``(latents', pgrads_or_None)``, appending — in order — ``traj``
-    when ``capture_stride > 0`` (packed pre-update latents every stride
-    Langevin steps, shape [ceil(T/stride), B, d0+d1+d2], DMA'd to HBM from
-    inside the chain), ``scalars`` when ``return_scalars``
+    when ``capture_stride > 0`` (ALIGNED packed pre-update latents every
+    stride Langevin steps, shape [ceil(T/stride), B, XW] with block offsets
+    from :func:`aligned_layout`; with ``output_var`` a second ``traj3``
+    [n_cap, B, pad128(D)] follows), ``scalars`` when ``return_scalars``
     (``{"loss": [R], "energy": [R]}`` batch sums with R = n_captures + 1;
     rows 0..R-2 are the captured steps' PRE-update values, row R-1 is the
     final step's pre-update value — the engine/reference convention,
     pc_trainer.py:777-795; the capture rows are recomputed in f32 from the
-    trajectory outside the kernel), and ``(m, v)`` packed final Adam moments
-    when ``emit_warm_opt_state`` (for handing optimizer-x state back to the
-    engine on continuation calls).
+    trajectory outside the kernel), and the packed final Adam moments when
+    ``emit_warm_opt_state`` (``(m, v)``, or ``(m, v, m3, v3)`` with
+    ``output_var`` — for handing optimizer-x state back to the engine on
+    continuation calls).
+
+    ``loss`` accepts the masked variants ``bernoulli_mask``/``gaussian_mask``
+    with ``mask_perc``: only the trailing ``round(D*mask_perc)`` features are
+    clamped (reference utils/model.py:24-33, the figure-2 image-completion
+    posteriors and get_mse_rec MAP inference).
+
+    ``matmul_layout``: 'blockdiag' (one fused block-diagonal matmul per
+    direction — latency-optimal), 'perlayer' (per-layer aligned matmuls —
+    FLOP-optimal at wide batch), or 'auto' (perlayer once the batch tile is
+    compute-bound, >= 512 rows).
 
     Batches larger than one VMEM tile are grid-tiled over the batch
     (``batch_tile``; default: largest divisor of B ≤ 1024); accumulators sum
@@ -637,11 +897,8 @@ def mcpc_chain_pallas(
             raise ValueError(
                 "output_var models are unclamped joint samplers (loss='none')"
             )
-        if warm_T or capture_stride or not packed:
-            raise ValueError(
-                "output_var supports the packed Langevin phase only (no "
-                "warm start / capture yet — the engine covers those)"
-            )
+        if not packed:
+            raise ValueError("output_var requires packed=True")
         x3 = latents[3]
         latents = latents[:3]
     x0, x1, x2 = latents
@@ -657,18 +914,28 @@ def mcpc_chain_pallas(
         raise ValueError("packed=False supports relu only")
     if capture_stride > 0 and T == 0:
         raise ValueError("capture_stride requires a Langevin phase (T > 0)")
+    if loss.endswith("_mask"):
+        if mask_perc is None:
+            raise ValueError("masked losses require mask_perc")
+        if not packed:
+            raise ValueError("masked losses require packed=True")
+    mask_k = round(w3.shape[1] * mask_perc) if loss.endswith("_mask") else 0
 
     if packed:
         d0, d1, d2 = x0.shape[1], x1.shape[1], x2.shape[1]
         D = w3.shape[1]
         dims = (d0, d1, d2, D)
-        xw, ow = d0 + d1 + d2, d1 + d2 + D
-        wf = jnp.zeros((xw, ow), jnp.float32)
-        wf = wf.at[0:d0, 0:d1].set(w1)
-        wf = wf.at[d0 : d0 + d1, d1 : d1 + d2].set(w2)
-        wf = wf.at[d0 + d1 :, d1 + d2 :].set(w3)
-        b_cat = jnp.concatenate([b1, b2, b3])
-        X = jnp.concatenate([x0, x1, x2], axis=1)
+        (p0, p1, p2), (O0, O1, O2), XW = aligned_layout((d0, d1, d2))
+        (q1, q2, pD), (Q1, Q2, Q3), OW = aligned_layout((d1, d2, D))
+        wf = jnp.zeros((XW, OW), jnp.float32)
+        wf = wf.at[O0 : O0 + d0, Q1 : Q1 + d1].set(w1)
+        wf = wf.at[O1 : O1 + d1, Q2 : Q2 + d2].set(w2)
+        wf = wf.at[O2 : O2 + d2, Q3 : Q3 + D].set(w3)
+        b_cat = _place_blocks(
+            [b1[None, :], b2[None, :], b3[None, :]], (d1, d2, D), OW
+        )[0]
+        b0p = _pad_cols(b0[None, :], p0)[0]
+        X = _place_blocks([x0, x1, x2], (d0, d1, d2), XW)
 
         tile = _pick_batch_tile(B) if batch_tile is None else int(batch_tile)
         if B % tile != 0:
@@ -681,11 +948,22 @@ def mcpc_chain_pallas(
             )
         n_tiles = B // tile
         n_cap = -(-T // capture_stride) if capture_stride > 0 else 0
+        if matmul_layout == "auto":
+            matmul_layout = "perlayer" if tile >= 512 else "blockdiag"
+        if matmul_layout not in ("blockdiag", "perlayer"):
+            raise ValueError(f"unknown matmul_layout {matmul_layout!r}")
+
+        # stage the weights in their matmul dtype ONCE (the kernel never
+        # converts or transposes them per step)
+        wfT = wf.T
+        if bf16_matmul:
+            wf = wf.astype(jnp.bfloat16)
+            wfT = wfT.astype(jnp.bfloat16)
 
         kernel = _make_packed_kernel(
             T=T, mixing=mixing, lr=lr, noise_std=noise_std,
             loss=loss,
-            inv_var=(1.0 / output_var) if output_pc else (1.0 / input_var),
+            inv_var=1.0 / input_var,
             with_pgrads=with_pgrads,
             dims=dims, bf16_matmul=bf16_matmul,
             warm=(warm_T, warm_lr, warm_b1, warm_b2, warm_eps)
@@ -698,43 +976,67 @@ def mcpc_chain_pallas(
             emit_warm_opt_state=emit_warm_opt_state,
             tile_B=tile,
             output_pc=output_pc,
+            inv_var3=(1.0 / output_var) if output_pc else 1.0,
+            mask_k=mask_k,
+            layout=matmul_layout,
         )
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         row_block = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0))
-        out_shapes = [jax.ShapeDtypeStruct((B, xw), jnp.float32)]
-        out_specs = [row_block(xw)]
+        out_shapes = [jax.ShapeDtypeStruct((B, XW), jnp.float32)]
+        out_specs = [row_block(XW)]
         if output_pc:
-            out_shapes.append(jax.ShapeDtypeStruct((B, D), jnp.float32))
-            out_specs.append(row_block(D))
+            out_shapes.append(jax.ShapeDtypeStruct((B, pD), jnp.float32))
+            out_specs.append(row_block(pD))
         if emit_warm_opt_state:
-            out_shapes += [jax.ShapeDtypeStruct((B, xw), jnp.float32)] * 2
-            out_specs += [row_block(xw)] * 2
+            out_shapes += [jax.ShapeDtypeStruct((B, XW), jnp.float32)] * 2
+            out_specs += [row_block(XW)] * 2
+            if output_pc:
+                out_shapes += [jax.ShapeDtypeStruct((B, pD), jnp.float32)] * 2
+                out_specs += [row_block(pD)] * 2
         if with_pgrads:
             out_shapes += [
-                jax.ShapeDtypeStruct((xw, ow), jnp.float32),
-                jax.ShapeDtypeStruct((ow,), jnp.float32),
-                jax.ShapeDtypeStruct((d0,), jnp.float32),
+                jax.ShapeDtypeStruct((XW, OW), jnp.float32),
+                jax.ShapeDtypeStruct((OW,), jnp.float32),
+                jax.ShapeDtypeStruct((p0,), jnp.float32),
             ]
             out_specs += [vmem] * 3
         if return_scalars:
             out_shapes.append(jax.ShapeDtypeStruct((1, 128), jnp.float32))
             out_specs.append(vmem)
-        xw_pad = -(-xw // 128) * 128  # DMA slices must be lane-aligned
         scratch = []
         if capture_stride > 0:
             out_shapes.append(
-                jax.ShapeDtypeStruct((n_cap, B, xw_pad), jnp.float32)
+                jax.ShapeDtypeStruct((n_cap, B, XW), jnp.float32)
             )
-            out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-            scratch.append(pltpu.VMEM((tile, xw_pad), jnp.float32))
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            if output_pc:
+                out_shapes.append(
+                    jax.ShapeDtypeStruct((n_cap, B, pD), jnp.float32)
+                )
+                out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        if noise_std > 0.0:
+            scratch.append(pltpu.VMEM((tile, XW), jnp.float32))
+            scratch.append(pltpu.VMEM((tile, XW), jnp.float32))
+            if output_pc:
+                scratch.append(pltpu.VMEM((tile, pD), jnp.float32))
+                scratch.append(pltpu.VMEM((tile, pD), jnp.float32))
+        if capture_stride > 0:
             scratch.append(pltpu.SemaphoreType.DMA(()))
+            if output_pc:
+                scratch.append(pltpu.SemaphoreType.DMA(()))
+        if output_pc:
+            y_operand = _pad_cols(x3, pD)
+        elif target is not None:
+            y_operand = _pad_cols(target, pD)
+        else:
+            y_operand = jnp.zeros((B, pD), jnp.float32)
         outs = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             out_shape=out_shapes,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [vmem] * 3
-            + [row_block(xw), row_block(D)],
+            + [vmem] * 4
+            + [row_block(XW), row_block(pD)],
             out_specs=out_specs,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
@@ -743,40 +1045,53 @@ def mcpc_chain_pallas(
             interpret=interpret,
         )(
             jnp.asarray(seed, dtype=jnp.int32).reshape(1),
-            wf, b0, b_cat,
+            wf, wfT, b0p, b_cat,
             X,
-            # the y operand carries x3 for output-PC joint samplers
-            x3 if output_pc
-            else (target if target is not None else jnp.zeros((B, D), jnp.float32)),
+            y_operand,
         )
         Xo = outs[0]
-        new_latents = (Xo[:, 0:d0], Xo[:, d0 : d0 + d1], Xo[:, d0 + d1 :])
+        new_latents = (
+            Xo[:, O0 : O0 + d0],
+            Xo[:, O1 : O1 + d1],
+            Xo[:, O2 : O2 + d2],
+        )
         pgrads = None
         k = 1
         if output_pc:
-            new_latents = new_latents + (outs[k],)
+            new_latents = new_latents + (outs[k][:, :D],)
             k += 1
         warm_mv = None
         if emit_warm_opt_state:
-            warm_mv = (outs[k], outs[k + 1])
-            k += 2
+            if output_pc:
+                warm_mv = tuple(outs[k : k + 4])
+                k += 4
+            else:
+                warm_mv = (outs[k], outs[k + 1])
+                k += 2
         if with_pgrads:
             gw_full, gb_cat, gb0 = outs[k : k + 3]
             k += 3
             pgrads = (
-                {"w": jnp.zeros_like(w0), "b": gb0},
-                {"w": gw_full[0:d0, 0:d1], "b": gb_cat[0:d1]},
-                {"w": gw_full[d0 : d0 + d1, d1 : d1 + d2], "b": gb_cat[d1 : d1 + d2]},
-                {"w": gw_full[d0 + d1 :, d1 + d2 :], "b": gb_cat[d1 + d2 :]},
+                {"w": jnp.zeros_like(w0), "b": gb0[:d0]},
+                {"w": gw_full[O0 : O0 + d0, Q1 : Q1 + d1],
+                 "b": gb_cat[Q1 : Q1 + d1]},
+                {"w": gw_full[O1 : O1 + d1, Q2 : Q2 + d2],
+                 "b": gb_cat[Q2 : Q2 + d2]},
+                {"w": gw_full[O2 : O2 + d2, Q3 : Q3 + D],
+                 "b": gb_cat[Q3 : Q3 + D]},
             )
         final_row = None
         if return_scalars:
             scal = outs[k]
             k += 1
             final_row = {"loss": scal[:, 0], "energy": scal[:, 1]}
-        traj = None
+        traj = traj3 = None
         if capture_stride > 0:
-            traj = outs[k][:, :, :xw]
+            traj = outs[k]
+            k += 1
+            if output_pc:
+                traj3 = outs[k]
+                k += 1
         scalars = None
         if return_scalars:
             if traj is not None:
@@ -786,7 +1101,9 @@ def mcpc_chain_pallas(
                 # the chain kernel free of per-step scalar accumulators)
                 cap = _traj_scalar_rows(
                     traj, (b0, w1, b1, w2, b2, w3, b3), target, dims,
-                    activation, loss, 1.0 / input_var,
+                    activation, loss, 1.0 / input_var, mask_k=mask_k,
+                    traj3=traj3,
+                    inv_var3=(1.0 / output_var) if output_pc else None,
                 )
                 scalars = {
                     "loss": jnp.concatenate([cap[0], final_row["loss"]]),
@@ -797,6 +1114,8 @@ def mcpc_chain_pallas(
         ret = [new_latents, pgrads]
         if capture_stride > 0:
             ret.append(traj)
+            if output_pc:
+                ret.append(traj3)
         if return_scalars:
             ret.append(scalars)
         if emit_warm_opt_state:

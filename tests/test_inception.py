@@ -1,0 +1,223 @@
+"""InceptionV3 FID feature graph: numerics parity of every primitive (and a
+full inception block) against torch CPU, full-graph shape check, and the
+torch state-dict import mapping.
+
+The reference metric is pytorch-fid's InceptionV3-pool3 FID
+(/root/reference/utils/training_evaluation.py:104-139); real weights cannot
+be fetched offline, so these tests pin the ARCHITECTURE + import shim — the
+numerics become paper-comparable the moment a weights file is provided via
+$MCPC_INCEPTION_WEIGHTS.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from montecarlopredictivecoding_tpu.eval import inception as inc  # noqa: E402
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_conv2d_matches_torch(rng):
+    x = rng.standard_normal((2, 5, 13, 11), dtype=np.float32)
+    w = rng.standard_normal((7, 5, 3, 3), dtype=np.float32)
+    for stride, pad in [(1, (0, 0)), (2, (0, 0)), (1, (1, 1)), (1, (0, 3))]:
+        ours = np.asarray(inc.conv2d(jnp.asarray(x), jnp.asarray(w), stride, pad))
+        ref = F.conv2d(_t(x), _t(w), stride=stride, padding=pad).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_batch_norm_matches_torch(rng):
+    x = rng.standard_normal((2, 6, 9, 9), dtype=np.float32)
+    p = {
+        "bn_w": jnp.asarray(rng.standard_normal(6, dtype=np.float32)),
+        "bn_b": jnp.asarray(rng.standard_normal(6, dtype=np.float32)),
+        "bn_m": jnp.asarray(rng.standard_normal(6, dtype=np.float32)),
+        "bn_v": jnp.asarray(rng.random(6, dtype=np.float32) + 0.1),
+    }
+    ours = np.asarray(inc.batch_norm(jnp.asarray(x), p))
+    ref = F.batch_norm(
+        _t(x), _t(p["bn_m"]), _t(p["bn_v"]), _t(p["bn_w"]), _t(p["bn_b"]),
+        training=False, eps=1e-3,
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_max_pool_matches_torch(rng):
+    x = rng.standard_normal((2, 4, 15, 15), dtype=np.float32)
+    ours = np.asarray(inc.max_pool(jnp.asarray(x)))
+    ref = F.max_pool2d(_t(x), 3, stride=2).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+    ours = np.asarray(inc.max_pool(jnp.asarray(x), k=3, stride=1, padding=1))
+    ref = F.max_pool2d(_t(x), 3, stride=1, padding=1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_avg_pool_count_include_pad_false_matches_torch(rng):
+    """The pytorch-fid pooling fix: border windows divide by the REAL element
+    count (count_include_pad=False)."""
+    x = rng.standard_normal((2, 4, 15, 15), dtype=np.float32)
+    ours = np.asarray(inc.avg_pool_excl(jnp.asarray(x)))
+    ref = F.avg_pool2d(
+        _t(x), 3, stride=1, padding=1, count_include_pad=False
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # and it genuinely differs from the include_pad variant at the border
+    ref_incl = F.avg_pool2d(_t(x), 3, stride=1, padding=1).numpy()
+    assert not np.allclose(ours, ref_incl)
+
+
+def test_resize_bilinear_matches_torch(rng):
+    x = rng.random((2, 3, 28, 28), dtype=np.float32)
+    ours = np.asarray(inc.resize_bilinear(jnp.asarray(x), 299))
+    ref = F.interpolate(
+        _t(x), size=(299, 299), mode="bilinear", align_corners=False
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+class _TorchBasicConv(torch.nn.Module):
+    def __init__(self, c_in, c_out, **kw):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(c_in, c_out, bias=False, **kw)
+        self.bn = torch.nn.BatchNorm2d(c_out, eps=1e-3)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class _TorchFIDInceptionA(torch.nn.Module):
+    """pytorch-fid FIDInceptionA (torchvision InceptionA + excl-pad pool)."""
+
+    def __init__(self, c_in, pool_features):
+        super().__init__()
+        self.branch1x1 = _TorchBasicConv(c_in, 64, kernel_size=1)
+        self.branch5x5_1 = _TorchBasicConv(c_in, 48, kernel_size=1)
+        self.branch5x5_2 = _TorchBasicConv(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = _TorchBasicConv(c_in, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _TorchBasicConv(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _TorchBasicConv(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = _TorchBasicConv(c_in, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        bp = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+        return torch.cat(
+            [
+                self.branch1x1(x),
+                self.branch5x5_2(self.branch5x5_1(x)),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                self.branch_pool(bp),
+            ],
+            1,
+        )
+
+
+def _import_branch(mod: _TorchBasicConv) -> dict:
+    sd = mod.state_dict()
+    return {
+        "w": jnp.asarray(sd["conv.weight"].numpy()),
+        "bn_w": jnp.asarray(sd["bn.weight"].numpy()),
+        "bn_b": jnp.asarray(sd["bn.bias"].numpy()),
+        "bn_m": jnp.asarray(sd["bn.running_mean"].numpy()),
+        "bn_v": jnp.asarray(sd["bn.running_var"].numpy()),
+    }
+
+
+def test_inception_a_block_matches_torch(rng):
+    """Full FIDInceptionA block (random weights, randomized running stats):
+    jax forward == torch forward."""
+    torch.manual_seed(0)
+    block = _TorchFIDInceptionA(192, 32).eval()
+    # randomize running stats so BN import is actually exercised
+    with torch.no_grad():
+        for m in block.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+    p = {name: _import_branch(getattr(block, name)) for name in (
+        "branch1x1", "branch5x5_1", "branch5x5_2", "branch3x3dbl_1",
+        "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool",
+    )}
+    x = rng.standard_normal((2, 192, 17, 17), dtype=np.float32)
+    with torch.no_grad():
+        ref = block(_t(x)).numpy()
+    ours = np.asarray(inc.inception_a(jnp.asarray(x), p))
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_full_graph_shapes_and_finite():
+    """Architecture sanity at production shapes: 28x28 grayscale -> resize
+    299 -> 2048-dim pool3 features, all finite."""
+    params = inc.init_inception_params(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 299, 299))
+    # skip the resize stage (already 299): call blocks directly via the
+    # public forward on a 28x28 input instead
+    feats = inc.inception_pool3_features(params, x[:, :, :28, :28])
+    assert feats.shape == (1, 2048)
+    assert bool(jnp.all(jnp.isfinite(feats)))
+
+
+def test_state_dict_import_roundtrip():
+    """Torch-style key mapping: export random params to a flat torch-layout
+    dict, re-import, and get the identical pytree (plus shape validation and
+    the missing-key error)."""
+    params = inc.init_inception_params(jax.random.PRNGKey(2))
+    flat = {}
+    for path, *_ in inc.conv_spec():
+        d = params
+        for k in path.split("."):
+            d = d[k]
+        flat[f"{path}.conv.weight"] = np.asarray(d["w"])
+        flat[f"{path}.bn.weight"] = np.asarray(d["bn_w"])
+        flat[f"{path}.bn.bias"] = np.asarray(d["bn_b"])
+        flat[f"{path}.bn.running_mean"] = np.asarray(d["bn_m"])
+        flat[f"{path}.bn.running_var"] = np.asarray(d["bn_v"])
+    flat["fc.weight"] = np.zeros((1008, 2048), np.float32)  # ignored
+    imported = inc.load_torch_state_dict(flat)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, imported,
+    )
+    bad = dict(flat)
+    del bad["Mixed_7c.branch_pool.bn.running_var"]
+    with pytest.raises(KeyError, match="Mixed_7c.branch_pool"):
+        inc.load_torch_state_dict(bad)
+
+
+def test_make_inception_features_requires_weights(monkeypatch):
+    monkeypatch.delenv(inc.WEIGHTS_ENV, raising=False)
+    with pytest.raises(FileNotFoundError, match="MCPC_INCEPTION_WEIGHTS"):
+        inc.make_inception_features()
+
+
+def test_make_inception_features_end_to_end(tmp_path):
+    """Weights provided as an in-memory state dict: 28x28 [0,1] images ->
+    [N, 2048] features through the jitted forward."""
+    params = inc.init_inception_params(jax.random.PRNGKey(3))
+    flat = {}
+    for path, *_ in inc.conv_spec():
+        d = params
+        for k in path.split("."):
+            d = d[k]
+        flat[f"{path}.conv.weight"] = np.asarray(d["w"])
+        flat[f"{path}.bn.weight"] = np.asarray(d["bn_w"])
+        flat[f"{path}.bn.bias"] = np.asarray(d["bn_b"])
+        flat[f"{path}.bn.running_mean"] = np.asarray(d["bn_m"])
+        flat[f"{path}.bn.running_var"] = np.asarray(d["bn_v"])
+    fn = inc.make_inception_features(weights=flat, batch_size=2)
+    assert fn.tag == "inception"
+    imgs = np.random.default_rng(1).random((3, 28, 28), dtype=np.float32)
+    feats = fn(imgs)
+    assert feats.shape == (3, 2048)
+    assert np.all(np.isfinite(feats))

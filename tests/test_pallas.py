@@ -222,13 +222,25 @@ def test_capture_stride_trajectory(setup):
         T=T, lr=lr, noise_var=None, loss="bernoulli",
         packed=True, interpret=True, capture_stride=stride,
     )
-    assert traj.shape == (4, 8, 4 + 8 + 8)
+    # trajectory is in the ALIGNED packed layout: blocks at 128-lane offsets
+    from montecarlopredictivecoding_tpu.ops import aligned_layout
+
+    dims = (4, 8, 8)
+    _, offs, xw = aligned_layout(dims)
+    assert traj.shape == (4, 8, xw)
+
+    def compact(t):  # aligned [.., B, xw] -> compact [.., B, sum(dims)]
+        return jnp.concatenate(
+            [t[..., o : o + d] for o, d in zip(offs, dims)], axis=-1
+        )
+
     # slot 0 is the initial latents
     np.testing.assert_allclose(
-        np.asarray(traj[0]),
+        np.asarray(compact(traj[0])),
         np.asarray(jnp.concatenate(latents, axis=1)),
         atol=1e-6,
     )
+    traj = compact(traj)
     # engine capture at matching steps
     cfg = EngineConfig(
         plan=build_plan(T, "all", "never"),
@@ -773,3 +785,279 @@ def test_trainer_dispatches_output_pc_model(output_pc_setup):
             np.asarray(outs["pallas"][1][k]), np.asarray(outs["engine"][1][k]),
             rtol=1e-4,
         )
+
+
+# ---- round-3 coverage: masked losses, per-layer matmul layout, lr folding,
+# ---- output-PC warm/capture ------------------------------------------------
+
+import functools as _ft
+
+
+@pytest.mark.parametrize(
+    "loss_fn,loss_name,perc",
+    [
+        (mcpc.bernoulli_fn_mask, "bernoulli_mask", 0.5),
+        (mcpc.fe_fn_mask, "gaussian_mask", 0.25),
+    ],
+)
+def test_masked_loss_kernel_matches_engine(setup, loss_fn, loss_name, perc):
+    """Masked sensory losses (reference utils/model.py:24-33, the figure-2
+    image-completion posteriors): kernel chain == engine."""
+    model, params, latents, target = setup
+    T, lr, var = 14, 0.02, 0.7
+    lk = {"_target": target, "_var": var}
+    eng = _engine_run(
+        model, params, latents, target, T, lr,
+        _ft.partial(loss_fn, perc=perc), lk,
+    )
+    pal, _ = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(0),
+        T=T, lr=lr, noise_var=None, loss=loss_name, input_var=var,
+        mask_perc=perc, interpret=True,
+    )
+    for a, b in zip(eng, pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_masked_loss_scalars_match_engine(setup):
+    """Masked-loss per-capture scalars follow the engine's pre-update
+    loss/energy convention."""
+    model, params, latents, target = setup
+    T, lr, perc = 8, 0.02, 0.5
+    cfg = EngineConfig(
+        plan=build_plan(T, "all", "never"),
+        optimizer_x=OptimizerSpec("sgd", lr=lr),
+        optimizer_p=None,
+        loss_fn=_ft.partial(mcpc.bernoulli_fn_mask, perc=perc),
+        capture_every_t=True,
+    )
+    fn = jax.jit(build_train_on_batch(model, cfg))
+    st = EngineState(
+        params=params, latents=latents,
+        opt_x_state=cfg.optimizer_x.make().init({"latents": latents}),
+        opt_p_state=None, lr_scale=jnp.ones(()), key=jax.random.PRNGKey(0),
+    )
+    _, res = fn(st, jnp.zeros((8, 4)), {"_target": target})
+    _, _, _, scal = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(0),
+        T=T, lr=lr, noise_var=None, loss="bernoulli_mask", mask_perc=perc,
+        capture_stride=1, return_scalars=True, interpret=True,
+    )
+    # stride=1: capture rows 0..T-1 are the per-step pre-update scalars
+    np.testing.assert_allclose(
+        np.asarray(scal["loss"][:-1]), np.asarray(res["loss"]), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(scal["energy"][:-1]), np.asarray(res["energy"]),
+        rtol=2e-5,
+    )
+
+
+def test_trainer_masked_dispatch_matches_engine(setup):
+    """PCTrainer dispatches masked sensory losses to the kernel — both the
+    Langevin chain (figure-2 masked posteriors) and the Adam MAP descent
+    (get_mse_rec) — matching the engine path."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(0)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+    for warm in (False, True):
+        outs = {}
+        for mode in ("engine", "pallas"):
+            gen = mcpc.GenerativeModel(model, key=7)
+            if warm:
+                tr = mcpc.PCTrainer(
+                    gen, T=12, optimizer_x_fn="adam",
+                    optimizer_x_kwargs={"lr": 0.05},
+                    update_p_at="never", optimizer_p_fn=None,
+                )
+            else:
+                tr = mcpc.PCTrainer(
+                    gen, T=12, optimizer_x_fn="sgd",
+                    optimizer_x_kwargs={"lr": 0.02},
+                    update_p_at="never", optimizer_p_fn=None,
+                )
+            tr.use_pallas = mode == "pallas"
+            took = []
+            orig = tr._run_pallas
+            tr._run_pallas = lambda *a, **k: (took.append(1), orig(*a, **k))[1]
+            res = tr.train_on_batch(
+                inputs, loss_fn=mcpc.bernoulli_fn_mask,
+                loss_fn_kwargs={"_target": target, "perc": 0.5},
+                callback_after_t=None if warm else mcpc.LangevinStep(var=None),
+                is_return_results_every_t=False, key=jax.random.PRNGKey(5),
+            )
+            if mode == "pallas":
+                assert took, f"masked {'warm' if warm else 'langevin'} config fell back"
+            outs[mode] = (gen.latents, res)
+        for a, b in zip(outs["pallas"][0], outs["engine"][0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5
+            )
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas"][1]["loss"]),
+            np.asarray(outs["engine"][1]["loss"]), rtol=1e-4,
+        )
+
+
+def test_perlayer_layout_matches_blockdiag(setup):
+    """The FLOP-optimal per-layer matmul layout is numerically equivalent to
+    the fused block-diagonal layout (chain + MC pgrads + warm + captures)."""
+    model, params, latents, target = setup
+    kw = dict(
+        T=10, lr=0.02, noise_var=None, loss="bernoulli", mixing=4,
+        with_pgrads=True, warm_T=6, warm_lr=0.05, capture_stride=2,
+        return_scalars=True, interpret=True,
+    )
+    a = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(0), matmul_layout="blockdiag", **kw
+    )
+    b = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(0), matmul_layout="perlayer", **kw
+    )
+    lat_a, pg_a, traj_a, scal_a = a
+    lat_b, pg_b, traj_b, scal_b = b
+    for x, y in zip(lat_a, lat_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+    for pa, pb in zip(pg_a, pg_b):
+        np.testing.assert_allclose(np.asarray(pa["w"]), np.asarray(pb["w"]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(pa["b"]), np.asarray(pb["b"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(traj_a), np.asarray(traj_b), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(scal_a["loss"]), np.asarray(scal_b["loss"]), rtol=1e-5
+    )
+
+
+def test_trainer_set_x_lr_folds_into_kernel(setup):
+    """set_x_lr (reference pc_trainer.py:283-287) folds into the kernel's
+    static lr; kernel == engine under a scaled x learning rate."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(0)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+    outs = {}
+    for mode in ("engine", "pallas"):
+        gen = mcpc.GenerativeModel(model, key=9)
+        tr = mcpc.PCTrainer(
+            gen, T=10, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.04},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        tr.use_pallas = mode == "pallas"
+        took = []
+        orig = tr._run_pallas
+        tr._run_pallas = lambda *a, **k: (took.append(1), orig(*a, **k))[1]
+        # latents must exist before set_x_lr-style warm usage; sample via a
+        # first call, then scale the lr and continue the chain
+        tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn,
+            loss_fn_kwargs={"_target": target},
+            callback_after_t=mcpc.LangevinStep(var=None),
+            is_return_results_every_t=False, key=jax.random.PRNGKey(1),
+        )
+        tr.set_x_lr(0.01)  # = 0.25x the base lr
+        res = tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn,
+            loss_fn_kwargs={"_target": target},
+            callback_after_t=mcpc.LangevinStep(var=None),
+            is_sample_x_at_batch_start=False,
+            is_return_results_every_t=False, key=jax.random.PRNGKey(2),
+        )
+        if mode == "pallas":
+            assert len(took) == 2, "set_x_lr config fell back to the engine"
+        assert float(res["x_lr_scale"][-1]) == pytest.approx(0.25)
+        outs[mode] = gen.latents
+    for a, b in zip(outs["pallas"], outs["engine"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dynamic_lr_invalidates_host_mirror(setup):
+    """After a dynamic-annealing engine run the host lr mirror is unknown;
+    the kernel path must refuse to fold it (regression: stale mirror)."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(0)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+    gen = mcpc.GenerativeModel(model, key=11)
+    tr = mcpc.PCTrainer(
+        gen, T=6, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.04},
+        x_lr_discount=0.9, x_lr_amplifier=1.05,
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    tr.use_pallas = True
+    took = []
+    orig = tr._run_pallas
+    tr._run_pallas = lambda *a, **k: (took.append(1), orig(*a, **k))[1]
+    tr.train_on_batch(
+        inputs, loss_fn=mcpc.bernoulli_fn, loss_fn_kwargs={"_target": target},
+        is_return_results_every_t=False, key=jax.random.PRNGKey(1),
+    )
+    assert not took  # dynamic-lr configs never ride the kernel
+    assert tr._lr_scale_host is None
+    # a follow-up non-dynamic-looking call on the same trainer must also
+    # stay off the kernel (the device-side scale is unknown to the host)
+    tr.train_on_batch(
+        inputs, loss_fn=mcpc.bernoulli_fn, loss_fn_kwargs={"_target": target},
+        is_sample_x_at_batch_start=False,
+        is_return_results_every_t=False, key=jax.random.PRNGKey(2),
+    )
+    assert not took
+    # re-arming via set_x_lr restores an exact host mirror
+    tr.set_x_lr(0.04)
+    assert tr._lr_scale_host == pytest.approx(1.0)
+
+
+def test_output_pc_warm_capture_matches_engine(output_pc_setup):
+    """The canonical figure-3 joint-sampling pattern END-TO-END on the
+    kernel: Adam MAP warm start on the trailing-PC model, then a Langevin
+    chain with outputs/xs captures — both phases must dispatch to the kernel
+    and match the engine."""
+    model = output_pc_setup[0]
+    B = 8
+    inputs = jnp.zeros((B, 4))
+    outs = {}
+    for mode in ("engine", "pallas"):
+        gen = mcpc.GenerativeModel(model, key=13)
+        warm = mcpc.PCTrainer(
+            gen, T=10, optimizer_x_fn="adam", optimizer_x_kwargs={"lr": 0.05},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        chain = mcpc.PCTrainer(
+            gen, T=8, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.02},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        warm.use_pallas = chain.use_pallas = mode == "pallas"
+        took = []
+        for t in (warm, chain):
+            orig = t._run_pallas
+            t._run_pallas = (
+                lambda orig: lambda *a, **k: (took.append(1), orig(*a, **k))[1]
+            )(orig)
+        warm.train_on_batch(
+            inputs, loss_fn=None, is_return_results_every_t=False,
+            key=jax.random.PRNGKey(3),
+        )
+        res = chain.train_on_batch(
+            inputs, loss_fn=None,
+            callback_after_t=mcpc.LangevinStep(var=None),
+            is_sample_x_at_batch_start=False,
+            is_return_outputs=True, is_return_xs=True,
+            key=jax.random.PRNGKey(4),
+        )
+        if mode == "pallas":
+            assert len(took) == 2, "output-PC warm/capture fell back"
+        outs[mode] = (gen.latents, res)
+    for a, b in zip(outs["pallas"][0], outs["engine"][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"][1]["outputs"]),
+        np.asarray(outs["engine"][1]["outputs"]), atol=5e-5,
+    )
+    for a, b in zip(outs["pallas"][1]["xs"], outs["engine"][1]["xs"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"][1]["energy"]),
+        np.asarray(outs["engine"][1]["energy"]), rtol=1e-4,
+    )
