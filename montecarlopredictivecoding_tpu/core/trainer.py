@@ -354,9 +354,9 @@ class PCTrainer:
             return None
         if mode == "warm":
             # Adam moments start at zero in the kernel: require a fresh
-            # optimizer (the per-batch resample pattern); noise and captures
-            # live in the Langevin phase only
-            if langevin_var is not None or wants_traj:
+            # optimizer (the per-batch resample pattern); noise lives in the
+            # Langevin phase only (captures ride the warm trajectory DMA)
+            if langevin_var is not None:
                 return None
             if self._opt_x_state is not None:
                 return None

@@ -169,4 +169,7 @@ if __name__ == "__main__":
     args = standard_parser(__doc__).parse_args()
     ctx = context_from_args(args)
     n_points = 40 if args.full else 8
+    # sweep (6b/6c), then the 4-point run that produces the 6a density
+    # panels (reference figure_6.py:166-167)
     varying_langevin_noise(ctx, np.logspace(-1, 1.5, n_points))
+    varying_langevin_noise(ctx, np.array([0.2, 2.0, 8.0, 20.0]))

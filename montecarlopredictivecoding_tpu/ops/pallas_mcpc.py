@@ -567,6 +567,32 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                     # divide+sqrt instead of three divides+sqrt.
                     b1p, b2p = carry
                     X = x_out[...]
+                    if capture_stride > 0 and T == 0:
+                        # warm-only chains (the reference PC trainer with
+                        # captures, e.g. figure_2.py:167-171 MAP phase):
+                        # record the pre-update latents every stride steps
+                        @pl.when(t % capture_stride == 0)
+                        def _():
+                            slot = t // capture_stride
+                            cp = pltpu.make_async_copy(
+                                x_out,
+                                traj_ref.at[
+                                    slot, pl.ds(tile_i * tile_B, tile_B)
+                                ],
+                                dma_sem,
+                            )
+                            cp.start()
+                            if output_pc:
+                                cp3 = pltpu.make_async_copy(
+                                    x3_out,
+                                    traj3_ref.at[
+                                        slot, pl.ds(tile_i * tile_B, tile_B)
+                                    ],
+                                    dma_sem3,
+                                )
+                                cp3.start()
+                                cp3.wait()
+                            cp.wait()
                     G, bl = eval_grads(X)
                     if warm_pgrads:
                         # PC training: update_p='last' takes the final
@@ -912,8 +938,8 @@ def mcpc_chain_pallas(
         raise ValueError("emit_warm_opt_state requires warm_T > 0")
     if activation != "relu" and not packed:
         raise ValueError("packed=False supports relu only")
-    if capture_stride > 0 and T == 0:
-        raise ValueError("capture_stride requires a Langevin phase (T > 0)")
+    if capture_stride > 0 and T == 0 and warm_T == 0:
+        raise ValueError("capture_stride requires steps (T > 0 or warm_T > 0)")
     if loss.endswith("_mask"):
         if mask_perc is None:
             raise ValueError("masked losses require mask_perc")
@@ -947,7 +973,10 @@ def mcpc_chain_pallas(
                 "the batch to a multiple of 128 or pass batch_tile explicitly"
             )
         n_tiles = B // tile
-        n_cap = -(-T // capture_stride) if capture_stride > 0 else 0
+        # captures span the Langevin phase, or the warm phase when the chain
+        # is warm-only (T == 0)
+        cap_T = T if T > 0 else warm_T
+        n_cap = -(-cap_T // capture_stride) if capture_stride > 0 else 0
         if matmul_layout == "auto":
             matmul_layout = "perlayer" if tile >= 512 else "blockdiag"
         if matmul_layout not in ("blockdiag", "perlayer"):

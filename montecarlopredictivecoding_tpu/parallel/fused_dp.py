@@ -38,6 +38,7 @@ def make_dp_fused_chain(
     warm_lr: float = 0.1,
     interpret: bool = False,
     axis: str = "data",
+    matmul_layout: str = "auto",
 ):
     """Build a jitted data-parallel fused chain:
 
@@ -55,7 +56,7 @@ def make_dp_fused_chain(
             T=T, lr=lr, noise_var=noise_var, loss=loss, input_var=input_var,
             mixing=mixing, with_pgrads=with_pgrads,
             warm_T=warm_T, warm_lr=warm_lr,
-            interpret=interpret,
+            interpret=interpret, matmul_layout=matmul_layout,
         )
         new_latents, pgrads = out[0], out[1]
         if with_pgrads:

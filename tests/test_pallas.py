@@ -1061,3 +1061,47 @@ def test_output_pc_warm_capture_matches_engine(output_pc_setup):
         np.asarray(outs["pallas"][1]["energy"]),
         np.asarray(outs["engine"][1]["energy"]), rtol=1e-4,
     )
+
+
+def test_trainer_warm_capture_matches_engine(setup):
+    """The figure-2 MAP phase pattern: a PC (Adam) trainer with per-step
+    representation captures rides the kernel's warm trajectory DMA and
+    matches the engine."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(0)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+    outs = {}
+    for mode in ("engine", "pallas"):
+        gen = mcpc.GenerativeModel(model, key=15)
+        tr = mcpc.PCTrainer(
+            gen, T=12, optimizer_x_fn="adam", optimizer_x_kwargs={"lr": 0.05},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        tr.use_pallas = mode == "pallas"
+        took = []
+        orig = tr._run_pallas
+        tr._run_pallas = lambda *a, **k: (took.append(1), orig(*a, **k))[1]
+        res = tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn_mask,
+            loss_fn_kwargs={"_target": target, "perc": 0.5},
+            is_return_representations=True, is_return_xs=True,
+            key=jax.random.PRNGKey(5),
+        )
+        if mode == "pallas":
+            assert took, "warm capture config fell back to the engine"
+        outs[mode] = (gen.latents, res)
+    for a, b in zip(outs["pallas"][0], outs["engine"][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"][1]["representations"]),
+        np.asarray(outs["engine"][1]["representations"]), atol=5e-5,
+    )
+    for a, b in zip(outs["pallas"][1]["xs"], outs["engine"][1]["xs"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    for k in ("loss", "energy"):
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas"][1][k]),
+            np.asarray(outs["engine"][1][k]), rtol=2e-4,
+        )
