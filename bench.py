@@ -39,8 +39,12 @@ T = 10000  # reference posterior-inference chain length (figure_2.py:171-172)
 DIMS = (20, 128, 128, 784)
 XW = DIMS[0] + DIMS[1] + DIMS[2]          # packed latent width
 OW = DIMS[1] + DIMS[2] + DIMS[3]          # packed output width
-# v5e single-chip peak (bf16 MXU); f32 MFU is reported against the same
-# number, i.e. as "fraction of the chip's matmul ceiling"
+# USEFUL matmul work per direction per row: sum of k*n over the real layer
+# dims — implementation-independent (the kernel may dispatch more, e.g. the
+# block-diagonal layout's zero blocks or the aligned padding)
+USEFUL = sum(a * b for a, b in zip(DIMS[:-1], DIMS[1:]))
+# v5e single-chip peak (bf16 MXU); all MFU figures = useful-FLOPs / bf16
+# peak, i.e. "fraction of the chip's matmul ceiling doing real work"
 PEAK_FLOPS = 197e12
 
 
@@ -58,6 +62,19 @@ def _median_time(fn, reps=5):
         assert all(x == x for x in v), "non-finite output"
     times.sort()
     return times[len(times) // 2]
+
+
+def _min_time(fn, reps=7):
+    """Min-of-N: the right statistic for MARGINAL fits — the tunnel's
+    per-dispatch latency has heavy positive noise that medians don't fully
+    reject, and a marginal difference of two medians amplifies it."""
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        v = fn(2 + i)
+        times.append(time.perf_counter() - t0)
+        assert all(x == x for x in v), "non-finite output"
+    return min(times)
 
 
 def main():
@@ -97,20 +114,54 @@ def main():
 
         return run
 
-    def make_train_step(batch, warm_T=250, mixing=50, sampling=100, bf16=False):
-        """The fused TRAIN step (experiments/train_mnist.py fused path):
-        Adam MAP warm start + Langevin chain + Monte-Carlo pgrads, one
-        dispatch."""
-        latents, target = make_inputs(batch)
+    def make_train_chunk(batch, k, warm_T=250, mixing=50, sampling=100,
+                         bf16=False):
+        """K fused TRAIN steps per dispatch (experiments/train_mnist.py
+        pipeline): per batch, Adam MAP warm start + Langevin chain +
+        Monte-Carlo pgrads + Adam p-update, scanned over k stacked batches.
+        A single tunneled dispatch costs ~29 ms regardless of work, which
+        would dominate one ~5 ms train step — the marginal per-batch time
+        from two k values is the honest throughput."""
+        import optax
+
+        opt_p = optax.adam(0.01)
+        data = (jax.random.uniform(key, (k, batch, DIMS[3])) > 0.5).astype(
+            jnp.float32
+        )
+
+        @jax.jit
+        def run_chunk(params, opt_state, rkey, data_k):
+            def body(carry, d):
+                params, opt_state, rkey = carry
+                rkey, k_lat, k_seed = jax.random.split(rkey, 3)
+                latents = model.init_latents(
+                    params, jnp.zeros((batch, DIMS[0])), k_lat
+                )
+                seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+                _, pg = mcpc_chain_pallas(
+                    params, latents, d, seed,
+                    T=mixing + sampling, lr=0.1, noise_var=2.0,
+                    loss="bernoulli", mixing=mixing, with_pgrads=True,
+                    warm_T=warm_T, warm_lr=0.7, bf16_matmul=bf16,
+                )
+                g = jax.tree_util.tree_map(
+                    lambda x: x / (sampling * batch), pg
+                )
+                updates, opt_state = opt_p.update(g, opt_state, params)
+                return (
+                    optax.apply_updates(params, updates), opt_state, rkey
+                ), None
+
+            (params, opt_state, rkey), _ = jax.lax.scan(
+                body, (params, opt_state, rkey), data_k
+            )
+            return params, opt_state
 
         def run(seed):
-            _, pg = mcpc_chain_pallas(
-                params, latents, target, jnp.int32(seed),
-                T=mixing + sampling, lr=0.1, noise_var=2.0, loss="bernoulli",
-                mixing=mixing, with_pgrads=True,
-                warm_T=warm_T, warm_lr=0.7, bf16_matmul=bf16,
+            p, _ = run_chunk(
+                params, opt_p.init(params), jax.random.PRNGKey(seed), data
             )
-            return (float(pg[3]["w"][0, 0]),)
+            return (float(p[3]["w"][0, 0]),)
 
         return run
 
@@ -161,44 +212,61 @@ def main():
         engine_fallback = True
 
     steps_per_sec = T / dt
-    # inference chain: 2 packed matmuls/step (forward + backward)
-    chain_flops = T * 2 * 2.0 * BATCH * XW * OW
+    # inference chain: forward + backward matmul pass per step
+    chain_flops = T * 2 * 2.0 * BATCH * USEFUL
     _log("## Headline — Langevin inference chain (B=256, T=10000, f32)", detail)
     _log("", detail)
     _log(f"- {steps_per_sec:,.1f} steps/s ({dt * 1e3:.1f} ms/chain, "
          f"{dt / T * 1e6:.2f} us/step)", detail)
-    _log(f"- {chain_flops / dt / 1e12:.2f} TFLOP/s achieved = "
-         f"{chain_flops / dt / PEAK_FLOPS * 100:.1f}% MFU (vs bf16 peak)", detail)
+    _log(f"- {chain_flops / dt / 1e12:.2f} useful TFLOP/s = "
+         f"{chain_flops / dt / PEAK_FLOPS * 100:.1f}% useful-MFU (vs bf16 peak)", detail)
     _log(f"- engine fallback: {engine_fallback}", detail)
     _log("", detail)
 
     if not engine_fallback:
-        # ---- fused train step ------------------------------------------------
+        # ---- fused train step (amortized: marginal per batch over a scanned
+        # chunk, cancelling the fixed tunnel dispatch cost) -------------------
         warm_T, mixing, sampling = 250, 50, 100
         T_tr = mixing + sampling
-        _log("## Fused train step (Adam warm 250 + chain 150 + MC pgrads)", detail)
+        k_lo, k_hi = 2, 18
+        _log("## Fused train step (Adam warm 250 + chain 150 + MC pgrads "
+             "+ Adam p-update)", detail)
         _log("", detail)
-        for batch, bf16 in ((256, False), (1024, False), (1024, True)):
+        _log(f"Marginal per-batch time from k={k_lo} vs k={k_hi} batches "
+             "scanned per dispatch (the train_mnist pipeline).", detail)
+        _log("", detail)
+        _log("Caveat: marginal fits inherit the tunnel's run-to-run "
+             "latency variance (~2x spread observed across repeated "
+             "runs); treat single-run rows as a ballpark, cross-check "
+             "with benchmarks/trainstep_bench.py.", detail)
+        _log("", detail)
+        for batch, bf16 in ((256, False), (256, True), (1024, False), (1024, True)):
             try:
-                run = make_train_step(batch, warm_T, mixing, sampling, bf16)
-                run(1)
-                dt = _median_time(run)
+                run_lo = make_train_chunk(batch, k_lo, warm_T, mixing,
+                                          sampling, bf16)
+                run_hi = make_train_chunk(batch, k_hi, warm_T, mixing,
+                                          sampling, bf16)
+                run_lo(1), run_hi(1)
+                dt = (_min_time(run_hi) - _min_time(run_lo)) / (
+                    k_hi - k_lo
+                )
             except Exception as e:
                 _log(f"- B={batch} {'bf16' if bf16 else 'f32 '}: failed "
                      f"({type(e).__name__})", detail)
                 continue
             total_steps = warm_T + T_tr
-            # warm: 2 mm/step; chain: 2 mm/step + 1 pgrad mm in the window
+            # warm/chain: fwd+bwd matmul pass per step; pgrad pass per
+            # accumulating step
             flops = (
                 (warm_T + T_tr) * 2 + sampling * 1
-            ) * 2.0 * batch * XW * OW
+            ) * 2.0 * batch * USEFUL
             _log(
                 f"- B={batch} {'bf16' if bf16 else 'f32 '}: "
                 f"{1.0 / dt:,.1f} train-batches/s, "
                 f"{batch / dt:,.0f} images/s, "
                 f"{total_steps / dt:,.0f} inference-steps/s, "
-                f"{flops / dt / 1e12:.2f} TFLOP/s "
-                f"({flops / dt / PEAK_FLOPS * 100:.1f}% MFU)",
+                f"{flops / dt / 1e12:.2f} useful TFLOP/s "
+                f"({flops / dt / PEAK_FLOPS * 100:.1f}% useful-MFU)",
                 detail,
             )
         _log("", detail)
@@ -206,7 +274,7 @@ def main():
         # ---- batch-scaling curve (inference chain) --------------------------
         _log("## Batch scaling — inference chain (T=10000)", detail)
         _log("", detail)
-        _log("| batch | precision | steps/s | chain-sample-steps/s | TFLOP/s | MFU |", detail)
+        _log("| batch | precision | steps/s | chain-sample-steps/s | useful TFLOP/s | useful-MFU |", detail)
         _log("|---|---|---|---|---|---|", detail)
         for batch in (256, 1024, 4096):
             for bf16 in (False, True):
@@ -218,7 +286,7 @@ def main():
                     _log(f"| {batch} | {'bf16' if bf16 else 'f32'} | failed "
                          f"({type(e).__name__}) | | | |", detail)
                     continue
-                flops = T * 2 * 2.0 * batch * XW * OW
+                flops = T * 2 * 2.0 * batch * USEFUL
                 _log(
                     f"| {batch} | {'bf16' if bf16 else 'f32'} "
                     f"| {T / dt:,.0f} | {batch * T / dt:,.0f} "
@@ -227,10 +295,12 @@ def main():
                     detail,
                 )
         _log("", detail)
-        _log("Roofline note: at B=256 the chain is dispatch-latency-bound", detail)
-        _log("(~4 us/step floor, serial step dependency); MFU climbs with", detail)
-        _log("batch as the packed matmuls fill the MXU — batches beyond one", detail)
-        _log("VMEM tile grid-tile over the batch dimension.", detail)
+        _log("Roofline note: at B=256 the chain is latency-bound (serial", detail)
+        _log("step dependency, ~4 us/step floor) and runs the fused", detail)
+        _log("block-diagonal matmul; at B>=512 the kernel switches to", detail)
+        _log("per-layer matmuls (matmul_layout='auto') and becomes", detail)
+        _log("compute/VPU-bound — batches beyond one VMEM tile grid-tile", detail)
+        _log("over the batch dimension.", detail)
 
     try:
         with open("BENCH_DETAIL.md", "w") as f:

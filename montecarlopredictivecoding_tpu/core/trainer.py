@@ -455,9 +455,17 @@ class PCTrainer:
             phase = dict(T=self.T, lr=lr_eff, noise_var=langevin_var)
         bf16 = self.use_pallas_bf16
         if bf16 == "auto":
-            # bf16 MXU pays off once the chain is compute-bound (wide batch);
-            # small batches stay f32 so kernel-vs-engine parity is exact
-            bf16 = on_tpu and inputs.shape[0] >= 1024
+            # bf16 MXU pays off only when the dispatch is matmul-bound: the
+            # Adam MAP descent at wide batch (BENCH_DETAIL r3: +28% at
+            # B=1024). Langevin chains are VPU/noise-bound and bf16's
+            # per-step activation conversions make them net slower at every
+            # batch size — they stay f32 (which also keeps kernel-vs-engine
+            # parity exact).
+            bf16 = (
+                on_tpu
+                and inputs.shape[0] >= 1024
+                and dispatch["mode"] == "warm"
+            )
         output_pc = dispatch.get("output_var") is not None
         outs = mcpc_chain_pallas(
             gen.params,

@@ -560,11 +560,12 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
 
                 def warm_step(t, carry):
                     # bias-correction powers carried incrementally — Mosaic
-                    # has no powf with a traced exponent.  The correction is
-                    # FOLDED into scalars:  mhat/(sqrt(vhat)+eps)
-                    #   = (c1/sqrt(c2)) * m / (sqrt(v) + eps/sqrt(c2)),
-                    # c1 = 1/(1-b1^t), c2 = 1/(1-b2^t) — one per-element
-                    # divide+sqrt instead of three divides+sqrt.
+                    # has no powf with a traced exponent.  The update uses
+                    # the EXACT optax/torch operation order (mhat = m/(1-b1^t)
+                    # etc.): an algebraically-folded one-divide variant
+                    # drifts a few small-denominator elements past the 5e-4
+                    # hardware-parity budget over ~40 steps, and the warm
+                    # phase is matmul-bound, not divide-bound.
                     b1p, b2p = carry
                     X = x_out[...]
                     if capture_stride > 0 and T == 0:
@@ -606,16 +607,17 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         @pl.when(t == warm_T - 1)
                         def _():
                             scal[...] += scal_row(bl)
-                    rs2 = jax.lax.rsqrt(1.0 - b2p)  # = sqrt(c2)
-                    alpha = warm_lr / (1.0 - b1p) / rs2
-                    eps2 = weps / rs2
+                    c1 = 1.0 - b1p
+                    c2 = 1.0 - b2p
                     m, v = adam_update(m_ref, v_ref, G)
-                    x_out[...] = X - alpha * m / (jnp.sqrt(v) + eps2)
+                    x_out[...] = X - warm_lr * (m / c1) / (
+                        jnp.sqrt(v / c2) + weps
+                    )
                     if output_pc:
                         g3 = inv_var3 * bl["err3"]
                         m3, v3 = adam_update(m3_ref, v3_ref, g3)
-                        x3_out[...] = x3_out[...] - alpha * m3 / (
-                            jnp.sqrt(v3) + eps2
+                        x3_out[...] = x3_out[...] - warm_lr * (m3 / c1) / (
+                            jnp.sqrt(v3 / c2) + weps
                         )
                     return (b1p * wb1, b2p * wb2)
 
