@@ -152,6 +152,30 @@ def main():
     assert np.isfinite(float(scal["energy"][-1]))
     print("output-PC warm + capture OK:", float(scal["energy"][-1]))
 
+    # 9) Langevin noise law on hardware: with zero weights every PC site's
+    # energy is 0.5*(x_l - b_l)^2, so the chain's stationary law is
+    # N(b_l, 1/(1 - lr/2)) (ULA discretization bias included). Catches a
+    # broken PRNG/Box-Muller pairing or pad-lane leakage.
+    model = mcpc.make_mlp_model(20, 128, 128, 784)
+    params = model.init(key)
+    params = tuple(
+        {"w": jnp.zeros_like(p["w"]), "b": p["b"]} for p in params
+    )
+    B, T9, lr9 = 512, 3000, 0.02
+    latents = model.init_latents(params, jnp.zeros((B, 20)), key)
+    lat, _ = mcpc_chain_pallas(
+        params, latents, None, jnp.int32(11), T=T9, lr=lr9, noise_var=2.0,
+        loss="none",
+    )
+    exp_var = 1.0 / (1.0 - lr9 / 2.0)
+    for i, x in enumerate(lat):
+        b = np.asarray(params[i]["b"]) if i > 0 else np.asarray(params[0]["b"])
+        d = np.asarray(x) - b[None, :]
+        m, v = float(d.mean()), float(d.var())
+        assert abs(m) < 0.05, (i, m)
+        assert abs(v - exp_var) < 0.05 * exp_var, (i, v, exp_var)
+    print(f"noise law OK: var={v:.4f} (expected {exp_var:.4f})")
+
     print("KERNEL_SANITY_PASS")
 
 

@@ -41,7 +41,7 @@ def main():
 
     print("| B | prec | marginal ms/batch | images/s | us/step | useful TFLOP/s | MFU(bf16 peak) |")
     print("|---|---|---|---|---|---|---|")
-    for B, bf16 in ((256, False), (1024, False), (1024, True), (4096, False)):
+    for B, bf16 in ((256, False), (256, True), (1024, False), (1024, True), (4096, False)):
         data = (jax.random.uniform(key, (K_HI, B, DIMS[3])) > 0.5).astype(
             jnp.float32
         )

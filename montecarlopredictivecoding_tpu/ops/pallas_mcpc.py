@@ -293,7 +293,7 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 # (, m3_out, v3_out)] when emit_warm_opt_state, then
                 # [gw_full, gb_cat, gb0] when with_pgrads, then [scal] when
                 # emit_scalars, then [traj (HBM) (, traj3)] when
-                # capture_stride > 0; scratch: noise caches + dma sems
+                # capture_stride > 0; scratch: capture dma semaphores
     ):
         k = 0
         if output_pc:
@@ -320,12 +320,6 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 k += 1
         scratch = rest[k:]
         k = 0
-        if noise_std > 0.0:
-            z_use, z_buf = scratch[k : k + 2]  # [tile_B, XW] noise caches
-            k += 2
-            if output_pc:
-                z3_use, z3_buf = scratch[k : k + 2]
-                k += 2
         if capture_stride > 0:
             dma_sem = scratch[k]
             k += 1
@@ -523,21 +517,17 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 | ((col >= O2) & (col < O2 + d2))
             )
 
-        def gen_noise_pair(t, use_ref, buf_ref, mask):
-            """Two-step cached Box-Muller: even steps generate BOTH branches
-            (one log/sqrt/cos/sin per pair), odd steps reuse the cached sin
-            branch — halving the per-step transcendental load."""
-            @pl.when(t % 2 == 0)
-            def _():
-                u1, u2 = _uniforms(use_ref.shape)
-                r = jnp.sqrt(-2.0 * jnp.log(u1))
-                theta = (2.0 * np.pi) * u2
-                use_ref[...] = jnp.where(mask, r * jnp.cos(theta), 0.0)
-                buf_ref[...] = jnp.where(mask, r * jnp.sin(theta), 0.0)
-
-            @pl.when(t % 2 == 1)
-            def _():
-                use_ref[...] = buf_ref[...]
+        def box_muller(shape, mask):
+            """Both Box-Muller branches as VALUES (one log/sqrt/cos/sin per
+            pair of steps — consumed by two consecutive inlined steps, no
+            scratch round-trip, no per-step predication)."""
+            u1, u2 = _uniforms(shape)
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            theta = (2.0 * np.pi) * u2
+            return (
+                jnp.where(mask, r * jnp.cos(theta), 0.0),
+                jnp.where(mask, r * jnp.sin(theta), 0.0),
+            )
 
         def body(m_ref, v_ref, m3_ref, v3_ref):
             # -- optional Adam MAP warm start (the reference's PC phase:
@@ -637,7 +627,7 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         v3_out[...] = v3_ref[...]
 
             # -- Langevin phase ---------------------------------------------
-            def step(t, _):
+            def step(t, z, z3):
                 X = x_out[...]
 
                 if capture_stride > 0:
@@ -679,26 +669,47 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         accum_pgrads(bl)
 
                 if noise_std > 0.0:
-                    gen_noise_pair(t, z_use, z_buf, valid_mask(X.shape))
-                    x_out[...] = X - lr * G + noise_std * z_use[...]
+                    x_out[...] = X - lr * G + noise_std * z
                 else:
                     x_out[...] = X - lr * G
                 if output_pc:
                     # trailing latent's Langevin step: dE/dx3 = inv_var3*err3
                     g3 = inv_var3 * bl["err3"]
                     if noise_std > 0.0:
+                        x3_out[...] = x3_out[...] - lr * g3 + noise_std * z3
+                    else:
+                        x3_out[...] = x3_out[...] - lr * g3
+
+            if noise_std > 0.0:
+                # two steps per iteration: each Box-Muller draw yields two
+                # independent normals, consumed back-to-back (T is static,
+                # so the odd-T epilogue costs no in-loop predication)
+                def gen_pair():
+                    za, zb = box_muller(x_in.shape, valid_mask(x_in.shape))
+                    if output_pc:
                         col3 = jax.lax.broadcasted_iota(
                             jnp.int32, x3_out.shape, 1
                         )
-                        gen_noise_pair(t, z3_use, z3_buf, col3 < D)
-                        x3_out[...] = (
-                            x3_out[...] - lr * g3 + noise_std * z3_use[...]
-                        )
+                        z3a, z3b = box_muller(x3_out.shape, col3 < D)
                     else:
-                        x3_out[...] = x3_out[...] - lr * g3
-                return ()
+                        z3a = z3b = None
+                    return za, zb, z3a, z3b
 
-            jax.lax.fori_loop(0, T, step, ())
+                def pair(i, _):
+                    za, zb, z3a, z3b = gen_pair()
+                    t = 2 * i
+                    step(t, za, z3a)
+                    step(t + 1, zb, z3b)
+                    return ()
+
+                jax.lax.fori_loop(0, T // 2, pair, ())
+                if T % 2:
+                    za, _zb, z3a, _z3b = gen_pair()
+                    step(jnp.int32(T - 1), za, z3a)
+            else:
+                jax.lax.fori_loop(
+                    0, T, lambda t, _: (step(t, None, None), ())[1], ()
+                )
 
         if warm is not None:
             scopes = dict(
@@ -1045,12 +1056,6 @@ def mcpc_chain_pallas(
                     jax.ShapeDtypeStruct((n_cap, B, pD), jnp.float32)
                 )
                 out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        if noise_std > 0.0:
-            scratch.append(pltpu.VMEM((tile, XW), jnp.float32))
-            scratch.append(pltpu.VMEM((tile, XW), jnp.float32))
-            if output_pc:
-                scratch.append(pltpu.VMEM((tile, pD), jnp.float32))
-                scratch.append(pltpu.VMEM((tile, pD), jnp.float32))
         if capture_stride > 0:
             scratch.append(pltpu.SemaphoreType.DMA(()))
             if output_pc:
