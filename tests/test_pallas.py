@@ -1105,3 +1105,57 @@ def test_trainer_warm_capture_matches_engine(setup):
             np.asarray(outs["pallas"][1][k]),
             np.asarray(outs["engine"][1][k]), rtol=2e-4,
         )
+
+
+def test_eligibility_matrix(setup):
+    """Pins the kernel-dispatch decision per config class so eligibility
+    regressions (silent engine fallbacks of hot paths, or unsound kernel
+    dispatches) are caught structurally."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(0)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+
+    def dispatches(trainer_kw, batch_kw, expect):
+        gen = mcpc.GenerativeModel(model, key=17)
+        tr = mcpc.PCTrainer(gen, **trainer_kw)
+        tr.use_pallas = True
+        took = []
+        orig = tr._run_pallas
+        tr._run_pallas = lambda *a, **k: (took.append(1), orig(*a, **k))[1]
+        tr.train_on_batch(
+            inputs, is_return_results_every_t=False,
+            key=jax.random.PRNGKey(1), **batch_kw,
+        )
+        assert bool(took) == expect, (trainer_kw, batch_kw, took)
+
+    sgd = dict(T=4, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.02},
+               update_p_at="never", optimizer_p_fn=None)
+    adam = dict(T=4, optimizer_x_fn="adam", optimizer_x_kwargs={"lr": 0.05},
+                update_p_at="never", optimizer_p_fn=None)
+    bern = dict(loss_fn=mcpc.bernoulli_fn, loss_fn_kwargs={"_target": target})
+
+    # hot paths: MUST ride the kernel
+    dispatches(sgd, bern, True)
+    dispatches(adam, bern, True)
+    dispatches(sgd, dict(loss_fn=mcpc.fe_fn_mask,
+                         loss_fn_kwargs={"_target": target, "_var": 0.5,
+                                         "perc": 0.5}), True)
+    # non-representable configs: MUST fall back to the engine
+    dispatches({**sgd, "x_lr_discount": 0.9}, bern, False)  # dynamic x-lr
+    dispatches({**sgd, "energy_coefficient": 0.5}, bern, False)
+    dispatches({**sgd, "loss_x_fn": lambda x: 0.01 * x * x}, bern, False)
+    dispatches(
+        {**sgd, "early_stop_fn": lambda **kw: kw["overall"] < 0.0},
+        bern, False,
+    )
+    dispatches(
+        {**sgd, "optimizer_x_kwargs": {"lr": 0.02, "momentum": 0.9}},
+        bern, False,  # momentum SGD is not plain Langevin
+    )
+    dispatches(adam, dict(loss_fn=mcpc.bernoulli_fn,
+                          loss_fn_kwargs={"_target": target,
+                                          "_reduction": "mean"}), False)
+    # per-datapoint overall capture is engine-only
+    dispatches(sgd, {**bern, "is_return_batchelement_loss": True}, False)
