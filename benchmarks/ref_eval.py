@@ -100,6 +100,39 @@ def main():
         "paper-comparable values unchanged (the FID stats cache keys on the",
         "data fingerprint).",
         "",
+        "**Which FID to trust.** The paper-comparable metric is pytorch-fid's",
+        "InceptionV3-pool3 FID; this framework implements that exact graph",
+        "(`eval/inception.py`, torch-weight import shim) and it activates whenever",
+        "`$MCPC_INCEPTION_WEIGHTS` points at a weights file — offline, the",
+        "dependency-free extractors below (pixels, in-framework ResNet-9) are used",
+        "instead. The pixel FID reproduces the paper's MCPC-over-PC ordering on both",
+        "checkpoint families; the ResNet-9 FID does NOT on the reference's",
+        "checkpoints (PC 57.4 vs MCPC 170.4) — root cause below.",
+        "",
+        "**ResNet-9 FID ordering flip, root cause** (benchmarks/resnet9_fid_diagnostic.py):",
+        "the ResNet-9 was trained as a classifier on this environment's synthetic",
+        "digits, so its features measure \"prototypicality to the classifier\", not",
+        "realism. Diagnostic over 2000 samples per set:",
+        "",
+        "| sample set | mean max-prob | mean entropy (nats) | mean feature L2 |",
+        "|---|---|---|---|",
+        "| test digits | 0.783 | 0.593 | 28.6 |",
+        "| reference mcpc_fid_1 samples | 0.839 | 0.454 | 32.2 |",
+        "| reference pc_fid_1 samples | 0.914 | 0.254 | 29.2 |",
+        "| in-framework mcpc_fid_1 samples | 0.902 | 0.268 | 33.1 |",
+        "| in-framework pc_fid_1 samples | 0.860 | 0.377 | 34.9 |",
+        "",
+        "The classifier is MORE confident on every generated set than on real test",
+        "digits — and most confident on the reference PC samples: PC's",
+        "mode-averaged, low-noise samples land squarely on the classifier's class",
+        "prototypes, compressing their feature distribution toward the test",
+        "moments and deflating their Fréchet distance. A feature map that scores",
+        "blurry prototypes as more test-like than the data itself is not a valid",
+        "FID basis across training domains; the ResNet-9 FID is therefore only",
+        "reported for in-framework-trained models (matched domain, where it agrees",
+        "with pixel FID and the paper: MCPC < PC), and cross-checking the",
+        "reference's checkpoints should use pixel FID or the InceptionV3 path.",
+        "",
         "| metric | checkpoints | MCPC | PC | DLGM |",
         "|---|---|---|---|---|",
     ]
