@@ -25,11 +25,10 @@ import numpy as np
 import montecarlopredictivecoding_tpu as mcpc
 from montecarlopredictivecoding_tpu.ops import mcpc_chain_pallas
 
-DIMS = (20, 128, 128, 784)
+from bench import DIMS, USEFUL  # single source of the flagship dims / useful-FLOP accounting
+
 T_CHAIN = 2000
 WARM_T, MIXING, SAMPLING = 250, 50, 100
-# useful (real-dim) matmul work per direction: sum of k*n over the 3 layers
-USEFUL = 20 * 128 + 128 * 128 + 128 * 784
 
 
 def median_time(fn, reps=7):

@@ -26,9 +26,9 @@ import optax
 import montecarlopredictivecoding_tpu as mcpc
 from montecarlopredictivecoding_tpu.ops import mcpc_chain_pallas
 
-DIMS = (20, 128, 128, 784)
+from bench import DIMS, USEFUL  # single source of the flagship dims / useful-FLOP accounting
+
 WARM_T, MIXING, SAMPLING = 250, 50, 100
-USEFUL = 20 * 128 + 128 * 128 + 128 * 784
 K_LO, K_HI = 2, 26
 
 

@@ -499,6 +499,16 @@ class PCTrainer:
         scalars = outs[k]
         k += 1
         warm_mv = outs[k] if dispatch["mode"] == "warm" else None
+        # aligned-layout geometry shared by the warm-moment graft and the
+        # trajectory unpacking below
+        from ..ops.pallas_mcpc import aligned_layout
+
+        dims = [
+            gen.model.modules[i].out_dim
+            for i in gen.model.linear_indices[:-1]
+        ]
+        _, offs, _ = aligned_layout(dims)
+        D_out = gen.model.modules[gen.model.linear_indices[-1]].out_dim
         # the params in force DURING the chain (captures are pre-update)
         chain_last_linear = gen.params[-1]
         gen.latents = new_latents
@@ -507,15 +517,6 @@ class PCTrainer:
         ):
             import optax
         if warm_mv is not None:
-            from ..ops.pallas_mcpc import aligned_layout
-
-            dims = [
-                gen.model.modules[i].out_dim
-                for i in gen.model.linear_indices[:-1]
-            ]
-            _, offs, _ = aligned_layout(dims)
-            D_out = gen.model.modules[gen.model.linear_indices[-1]].out_dim
-
             def split(packed, tail=None):
                 # aligned packed [B, XW] -> per-latent blocks (+ the trailing
                 # PC site's moments for output-PC models)
@@ -572,14 +573,6 @@ class PCTrainer:
             "stop_t": jnp.full((), -1, dtype=jnp.int32),
         }
         if traj is not None:
-            from ..ops.pallas_mcpc import aligned_layout
-
-            dims = [
-                gen.model.modules[i].out_dim
-                for i in gen.model.linear_indices[:-1]
-            ]
-            _, offs, _ = aligned_layout(dims)
-            D_out = gen.model.modules[gen.model.linear_indices[-1]].out_dim
             if dispatch.get("capture_xs"):
                 xs = tuple(
                     traj[:, :, o : o + d] for o, d in zip(offs, dims)

@@ -44,10 +44,16 @@ _BN_EPS = 1e-3  # torchvision BasicConv2d: BatchNorm2d(eps=0.001)
 
 
 def conv2d(x, w, stride=1, padding=(0, 0)):
-    """torch F.conv2d (no bias): symmetric (ph, pw) zero padding."""
+    """torch F.conv2d (no bias): symmetric (ph, pw) zero padding.
+
+    Full-f32 accumulation: this is METRIC math — the TPU's default bf16
+    MXU passes would stack ~2^-8 relative error through ~90 conv layers
+    feeding the Fréchet statistics (the same trap that zeroed the KL
+    estimator's NN distances; see CLAUDE.md)."""
     ph, pw = padding if isinstance(padding, tuple) else (padding, padding)
     return lax.conv_general_dilated(
-        x, w, (stride, stride), [(ph, ph), (pw, pw)], dimension_numbers=_DN
+        x, w, (stride, stride), [(ph, ph), (pw, pw)], dimension_numbers=_DN,
+        precision=lax.Precision.HIGHEST,
     )
 
 
@@ -195,6 +201,7 @@ def inception_pool3_features(params, x):
     x = inception_c(x, params["Mixed_6b"])
     x = inception_c(x, params["Mixed_6c"])
     x = inception_c(x, params["Mixed_6d"])
+    x = inception_c(x, params["Mixed_6e"])
     x = inception_d(x, params["Mixed_7a"])
     x = inception_e(x, params["Mixed_7b"], pool="avg")
     x = inception_e(x, params["Mixed_7c"], pool="max")
@@ -284,6 +291,7 @@ def conv_spec() -> tp.List[tp.Tuple[str, int, int, tp.Tuple[int, int]]]:
     spec += _c_spec("Mixed_6b", 768, 128)
     spec += _c_spec("Mixed_6c", 768, 160)
     spec += _c_spec("Mixed_6d", 768, 160)
+    spec += _c_spec("Mixed_6e", 768, 192)
     spec += _d_spec("Mixed_7a", 768)
     spec += _e_spec("Mixed_7b", 1280)
     spec += _e_spec("Mixed_7c", 2048)

@@ -221,3 +221,25 @@ def test_make_inception_features_end_to_end(tmp_path):
     feats = fn(imgs)
     assert feats.shape == (3, 2048)
     assert np.all(np.isfinite(feats))
+
+
+def test_conv_spec_complete():
+    """Pin the graph against torchvision inception_v3: 94 BasicConv2d
+    modules across the stem and all 11 mixed blocks — in particular all
+    FOUR InceptionC blocks (Mixed_6b..6e; a missing 6e keeps every shape
+    valid and imports silently, but the features stop being
+    pytorch-fid-comparable)."""
+    spec = inc.conv_spec()
+    assert len(spec) == 94
+    blocks = {path.split(".")[0] for path, *_ in spec}
+    assert blocks == {
+        "Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3", "Conv2d_3b_1x1",
+        "Conv2d_4a_3x3", "Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+        "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e", "Mixed_7a",
+        "Mixed_7b", "Mixed_7c",
+    }
+    # the InceptionC channel ladder (torchvision: 128, 160, 160, 192)
+    for name, c7 in (("Mixed_6b", 128), ("Mixed_6c", 160),
+                     ("Mixed_6d", 160), ("Mixed_6e", 192)):
+        row = [r for r in spec if r[0] == f"{name}.branch7x7_1"]
+        assert row and row[0][2] == c7, (name, row)
