@@ -3,8 +3,11 @@ kernel's 'auto' thresholds (matmul_layout, use_pallas_bf16).
 
 Measures the inference chain (T=2000) and the fused train step
 (250 warm + 150 chain + MC pgrads) for {B} x {blockdiag, perlayer} x
-{f32, bf16} on the real chip.  Timing includes dispatch + one readback
-(~30 ms fixed tunnel cost — chains are long enough to amortize).
+{f32, bf16} on the real chip.  CAVEAT: timing includes dispatch + one
+readback — at T=2000 the ~30 ms fixed tunnel cost leaves ~15 us/step
+baked into every row, so use this table for RELATIVE layout/precision
+comparisons only; absolute marginals come from kernel_microbench.py
+(two-length fits) and bench.py's T=10000 scaling table.
 
 Run: python benchmarks/layout_bench.py
 """
