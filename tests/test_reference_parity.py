@@ -349,3 +349,65 @@ def test_dense_update_p_all_parity():
     for (tw, tb), jp in zip(t_params, gen.params):
         np.testing.assert_allclose(np.asarray(jp["w"]), tw, atol=1e-5)
         np.testing.assert_allclose(np.asarray(jp["b"]), tb, atol=1e-5)
+
+
+@pytest.mark.parametrize("bernoulli", [False, True])
+def test_masked_loss_trajectory_parity(bernoulli):
+    """Masked sensory losses (reference utils/model.py:24-25,31-33 —
+    image-completion posteriors / get_mse_rec): MAP trajectories must match
+    the torch reference with the same trailing-window clamp."""
+    ref_pc = _ref_modules()
+    import torch.optim as optim
+
+    tmodel, jmodel, params = _build_pair(seed=4)
+    B, T, lr, var, perc = 4, 12, 0.05, 0.7, 0.4
+    torch.manual_seed(5)
+    if bernoulli:
+        data_t = (torch.rand(B, 5) > 0.5).float()
+    else:
+        data_t = torch.randn(B, 5)
+    inputs_t = torch.zeros(B, 3)
+
+    # the reference masked losses, verbatim (utils/model.py:24-25,31-33)
+    def fe_fn_mask_t(output, _target, _var, perc=0.5):
+        k = round(output.shape[1] * perc)
+        return (1 / _var) * 0.5 * (output[:, -k:] - _target[:, -k:]).pow(2).sum()
+
+    def bernoulli_fn_mask_t(output, _target, _var=None, perc=0.5):
+        k = round(output.shape[1] * perc)
+        loss = torch.nn.BCEWithLogitsLoss(reduction="sum")
+        return loss(output[:, -k:], _target[:, -k:])
+
+    trainer = ref_pc.PCTrainer(
+        tmodel, T=T, update_x_at="all",
+        optimizer_x_fn=optim.SGD, optimizer_x_kwargs={"lr": lr},
+        update_p_at="never", plot_progress_at=[],
+    )
+    res_t = trainer.train_on_batch(
+        inputs=inputs_t,
+        loss_fn=bernoulli_fn_mask_t if bernoulli else fe_fn_mask_t,
+        loss_fn_kwargs={"_target": data_t, "_var": var, "perc": perc},
+        is_log_progress=False,
+        is_return_results_every_t=True,
+        is_checking_after_callback_after_t=False,
+    )
+    xs_t = [x.detach().numpy() for x in trainer.get_model_xs()]
+
+    gen = mcpc.GenerativeModel(jmodel, key=0, params=params)
+    jtr = mcpc.PCTrainer(
+        gen, T=T, update_x_at="all",
+        optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": lr},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    res_j = jtr.train_on_batch(
+        jnp.zeros((B, 3)),
+        loss_fn=mcpc.bernoulli_fn_mask if bernoulli else mcpc.fe_fn_mask,
+        loss_fn_kwargs={"_target": jnp.asarray(data_t.numpy()), "_var": var,
+                        "perc": perc},
+    )
+    for xt, xj in zip(xs_t, gen.latents):
+        np.testing.assert_allclose(np.asarray(xj), xt, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res_j["loss"]), np.asarray(res_t["loss"]), rtol=1e-4,
+        atol=1e-6,
+    )
