@@ -243,3 +243,161 @@ def test_conv_spec_complete():
                      ("Mixed_6d", 160), ("Mixed_6e", 192)):
         row = [r for r in spec if r[0] == f"{name}.branch7x7_1"]
         assert row and row[0][2] == c7, (name, row)
+
+
+# ---- full-graph oracle: the pytorch-fid InceptionV3 variant built in torch,
+# ---- weights imported through the real state_dict path ----------------------
+
+
+class _TorchInceptionB(torch.nn.Module):
+    def __init__(self, c_in):
+        super().__init__()
+        self.branch3x3 = _TorchBasicConv(c_in, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = _TorchBasicConv(c_in, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _TorchBasicConv(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _TorchBasicConv(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat(
+            [
+                self.branch3x3(x),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                F.max_pool2d(x, 3, stride=2),
+            ],
+            1,
+        )
+
+
+class _TorchFIDInceptionC(torch.nn.Module):
+    def __init__(self, c_in, c7):
+        super().__init__()
+        self.branch1x1 = _TorchBasicConv(c_in, 192, kernel_size=1)
+        self.branch7x7_1 = _TorchBasicConv(c_in, c7, kernel_size=1)
+        self.branch7x7_2 = _TorchBasicConv(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = _TorchBasicConv(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = _TorchBasicConv(c_in, c7, kernel_size=1)
+        self.branch7x7dbl_2 = _TorchBasicConv(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = _TorchBasicConv(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = _TorchBasicConv(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = _TorchBasicConv(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = _TorchBasicConv(c_in, 192, kernel_size=1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(
+            self.branch7x7dbl_4(
+                self.branch7x7dbl_3(self.branch7x7dbl_2(self.branch7x7dbl_1(x)))
+            )
+        )
+        bp = self.branch_pool(
+            F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+        )
+        return torch.cat([self.branch1x1(x), b7, bd, bp], 1)
+
+
+class _TorchInceptionD(torch.nn.Module):
+    def __init__(self, c_in):
+        super().__init__()
+        self.branch3x3_1 = _TorchBasicConv(c_in, 192, kernel_size=1)
+        self.branch3x3_2 = _TorchBasicConv(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = _TorchBasicConv(c_in, 192, kernel_size=1)
+        self.branch7x7x3_2 = _TorchBasicConv(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = _TorchBasicConv(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = _TorchBasicConv(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(
+            self.branch7x7x3_3(self.branch7x7x3_2(self.branch7x7x3_1(x)))
+        )
+        return torch.cat([b3, b7, F.max_pool2d(x, 3, stride=2)], 1)
+
+
+class _TorchFIDInceptionE(torch.nn.Module):
+    def __init__(self, c_in, pool):
+        super().__init__()
+        self.pool = pool
+        self.branch1x1 = _TorchBasicConv(c_in, 320, kernel_size=1)
+        self.branch3x3_1 = _TorchBasicConv(c_in, 384, kernel_size=1)
+        self.branch3x3_2a = _TorchBasicConv(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = _TorchBasicConv(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = _TorchBasicConv(c_in, 448, kernel_size=1)
+        self.branch3x3dbl_2 = _TorchBasicConv(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = _TorchBasicConv(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = _TorchBasicConv(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = _TorchBasicConv(c_in, 192, kernel_size=1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        if self.pool == "avg":
+            bp = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+        else:
+            bp = F.max_pool2d(x, 3, stride=1, padding=1)
+        return torch.cat([self.branch1x1(x), b3, bd, self.branch_pool(bp)], 1)
+
+
+class _TorchFIDInception(torch.nn.Module):
+    """The pytorch-fid InceptionV3 feature graph, module names matching
+    torchvision so state_dict() has the official key layout."""
+
+    def __init__(self):
+        super().__init__()
+        B = _TorchBasicConv
+        self.Conv2d_1a_3x3 = B(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = B(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = B(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = B(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = B(80, 192, kernel_size=3)
+        self.Mixed_5b = _TorchFIDInceptionA(192, 32)
+        self.Mixed_5c = _TorchFIDInceptionA(256, 64)
+        self.Mixed_5d = _TorchFIDInceptionA(288, 64)
+        self.Mixed_6a = _TorchInceptionB(288)
+        self.Mixed_6b = _TorchFIDInceptionC(768, 128)
+        self.Mixed_6c = _TorchFIDInceptionC(768, 160)
+        self.Mixed_6d = _TorchFIDInceptionC(768, 160)
+        self.Mixed_6e = _TorchFIDInceptionC(768, 192)
+        self.Mixed_7a = _TorchInceptionD(768)
+        self.Mixed_7b = _TorchFIDInceptionE(1280, pool="avg")
+        self.Mixed_7c = _TorchFIDInceptionE(2048, pool="max")
+
+    def forward(self, x):  # x in [0, 1], [N, 3, 299, 299]
+        x = 2.0 * x - 1.0
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+                     "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
+                     "Mixed_7a", "Mixed_7b", "Mixed_7c"):
+            x = getattr(self, name)(x)
+        return F.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
+
+
+def test_full_graph_matches_torch_oracle():
+    """End-to-end: random-weight torch FID-Inception vs the jax graph with
+    weights imported through load_torch_state_dict from the REAL torch
+    state_dict — catches any missing/reordered block (this is the test
+    shape that would have caught the Mixed_6e omission) and validates the
+    import shim against genuine torch key layout (incl. ignoring
+    num_batches_tracked)."""
+    torch.manual_seed(7)
+    model = _TorchFIDInception().eval()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    params = inc.load_torch_state_dict(model.state_dict())
+    x = np.random.default_rng(3).random((1, 3, 299, 299), dtype=np.float32)
+    with torch.no_grad():
+        ref = model(_t(x)).numpy()
+    # public path includes the 299->299 resize (identity at same size)
+    ours = np.asarray(inc.inception_pool3_features(params, jnp.asarray(x)))
+    assert ours.shape == ref.shape == (1, 2048)
+    np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=5e-3)
