@@ -893,7 +893,9 @@ def mcpc_chain_pallas(
 
     Returns ``(latents', pgrads_or_None)``, appending — in order — ``traj``
     when ``capture_stride > 0`` (ALIGNED packed pre-update latents every
-    stride Langevin steps, shape [ceil(T/stride), B, XW] with block offsets
+    stride steps — over the Langevin phase, or over the warm phase for
+    warm-only chains (T == 0, the reference PC-trainer-with-captures
+    pattern); shape [ceil((T if T > 0 else warm_T)/stride), B, XW] with block offsets
     from :func:`aligned_layout`; with ``output_var`` a second ``traj3``
     [n_cap, B, pad128(D)] follows), ``scalars`` when ``return_scalars``
     (``{"loss": [R], "energy": [R]}`` batch sums with R = n_captures + 1;
