@@ -31,18 +31,19 @@ DIMS = (20, 128, 128, 784)
 T_LO, T_HI = 2000, 10000
 
 
-def marginal_us(run, reps=5):
-    def med(T):
+def marginal_us(run, reps=7):
+    # min-of-N per length: the tunnel's latency noise is heavy and positive,
+    # and a marginal fit of medians can even go negative on short chains
+    def best(T):
         ts = []
         for i in range(reps):
             t0 = time.perf_counter()
             run(T, 2 + i)
             ts.append(time.perf_counter() - t0)
-        ts.sort()
-        return ts[len(ts) // 2]
+        return min(ts)
 
     run(T_LO, 0), run(T_HI, 1)  # compile both
-    lo, hi = med(T_LO), med(T_HI)
+    lo, hi = best(T_LO), best(T_HI)
     return (hi - lo) / (T_HI - T_LO) * 1e6, lo, hi
 
 
