@@ -77,6 +77,62 @@ def _min_time(fn, reps=7):
     return min(times)
 
 
+def make_train_chunk(model, params, key, batch, k, warm_T=250, mixing=50,
+                     sampling=100, bf16=False):
+    """K fused TRAIN steps per dispatch (experiments/train_mnist.py
+    pipeline): per batch, Adam MAP warm start + Langevin chain +
+    Monte-Carlo pgrads + Adam p-update, scanned over k stacked batches.
+    A single tunneled dispatch costs ~29 ms regardless of work, which
+    would dominate one ~5 ms train step — the marginal per-batch time
+    from two k values is the honest throughput.  Shared with
+    benchmarks/trainstep_bench.py (the standalone harness) so the train
+    recipe exists in exactly one place."""
+    import optax
+
+    from montecarlopredictivecoding_tpu.ops import mcpc_chain_pallas
+
+    opt_p = optax.adam(0.01)
+    data = (jax.random.uniform(key, (k, batch, DIMS[3])) > 0.5).astype(
+        jnp.float32
+    )
+
+    @jax.jit
+    def run_chunk(params, opt_state, rkey, data_k):
+        def body(carry, d):
+            params, opt_state, rkey = carry
+            rkey, k_lat, k_seed = jax.random.split(rkey, 3)
+            latents = model.init_latents(
+                params, jnp.zeros((batch, DIMS[0])), k_lat
+            )
+            seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+            _, pg = mcpc_chain_pallas(
+                params, latents, d, seed,
+                T=mixing + sampling, lr=0.1, noise_var=2.0,
+                loss="bernoulli", mixing=mixing, with_pgrads=True,
+                warm_T=warm_T, warm_lr=0.7, bf16_matmul=bf16,
+            )
+            g = jax.tree_util.tree_map(
+                lambda x: x / (sampling * batch), pg
+            )
+            updates, opt_state = opt_p.update(g, opt_state, params)
+            return (
+                optax.apply_updates(params, updates), opt_state, rkey
+            ), None
+
+        (params, opt_state, rkey), _ = jax.lax.scan(
+            body, (params, opt_state, rkey), data_k
+        )
+        return params, opt_state
+
+    def run(seed):
+        p, _ = run_chunk(
+            params, opt_p.init(params), jax.random.PRNGKey(seed), data
+        )
+        return (float(p[3]["w"][0, 0]),)
+
+    return run
+
+
 def main():
     import montecarlopredictivecoding_tpu as mcpc
     from montecarlopredictivecoding_tpu.ops import mcpc_chain_pallas
@@ -111,57 +167,6 @@ def main():
 
             v = _np.asarray(jnp.stack([out[0][0, 0], out[2][0, 0]]))
             return (float(v[0]), float(v[1]))
-
-        return run
-
-    def make_train_chunk(batch, k, warm_T=250, mixing=50, sampling=100,
-                         bf16=False):
-        """K fused TRAIN steps per dispatch (experiments/train_mnist.py
-        pipeline): per batch, Adam MAP warm start + Langevin chain +
-        Monte-Carlo pgrads + Adam p-update, scanned over k stacked batches.
-        A single tunneled dispatch costs ~29 ms regardless of work, which
-        would dominate one ~5 ms train step — the marginal per-batch time
-        from two k values is the honest throughput."""
-        import optax
-
-        opt_p = optax.adam(0.01)
-        data = (jax.random.uniform(key, (k, batch, DIMS[3])) > 0.5).astype(
-            jnp.float32
-        )
-
-        @jax.jit
-        def run_chunk(params, opt_state, rkey, data_k):
-            def body(carry, d):
-                params, opt_state, rkey = carry
-                rkey, k_lat, k_seed = jax.random.split(rkey, 3)
-                latents = model.init_latents(
-                    params, jnp.zeros((batch, DIMS[0])), k_lat
-                )
-                seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
-                _, pg = mcpc_chain_pallas(
-                    params, latents, d, seed,
-                    T=mixing + sampling, lr=0.1, noise_var=2.0,
-                    loss="bernoulli", mixing=mixing, with_pgrads=True,
-                    warm_T=warm_T, warm_lr=0.7, bf16_matmul=bf16,
-                )
-                g = jax.tree_util.tree_map(
-                    lambda x: x / (sampling * batch), pg
-                )
-                updates, opt_state = opt_p.update(g, opt_state, params)
-                return (
-                    optax.apply_updates(params, updates), opt_state, rkey
-                ), None
-
-            (params, opt_state, rkey), _ = jax.lax.scan(
-                body, (params, opt_state, rkey), data_k
-            )
-            return params, opt_state
-
-        def run(seed):
-            p, _ = run_chunk(
-                params, opt_p.init(params), jax.random.PRNGKey(seed), data
-            )
-            return (float(p[3]["w"][0, 0]),)
 
         return run
 
@@ -242,10 +247,10 @@ def main():
         _log("", detail)
         for batch, bf16 in ((256, False), (256, True), (1024, False), (1024, True)):
             try:
-                run_lo = make_train_chunk(batch, k_lo, warm_T, mixing,
-                                          sampling, bf16)
-                run_hi = make_train_chunk(batch, k_hi, warm_T, mixing,
-                                          sampling, bf16)
+                run_lo = make_train_chunk(model, params, key, batch, k_lo,
+                                          warm_T, mixing, sampling, bf16)
+                run_hi = make_train_chunk(model, params, key, batch, k_hi,
+                                          warm_T, mixing, sampling, bf16)
                 run_lo(1), run_hi(1)
                 dt = (_min_time(run_hi) - _min_time(run_lo)) / (
                     k_hi - k_lo

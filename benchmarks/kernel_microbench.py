@@ -14,7 +14,6 @@ Run: python benchmarks/kernel_microbench.py [batch ...]
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -27,23 +26,17 @@ import jax.numpy as jnp
 import montecarlopredictivecoding_tpu as mcpc
 from montecarlopredictivecoding_tpu.ops import mcpc_chain_pallas
 
-DIMS = (20, 128, 128, 784)
+# min-of-N marginal statistic shared with bench.py (heavy positive tunnel
+# latency noise; a marginal fit of medians can even go negative)
+from bench import DIMS, _min_time
+
 T_LO, T_HI = 2000, 10000
 
 
 def marginal_us(run, reps=7):
-    # min-of-N per length: the tunnel's latency noise is heavy and positive,
-    # and a marginal fit of medians can even go negative on short chains
-    def best(T):
-        ts = []
-        for i in range(reps):
-            t0 = time.perf_counter()
-            run(T, 2 + i)
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
     run(T_LO, 0), run(T_HI, 1)  # compile both
-    lo, hi = best(T_LO), best(T_HI)
+    lo = _min_time(lambda s: (run(T_LO, s),), reps=reps)
+    hi = _min_time(lambda s: (run(T_HI, s),), reps=reps)
     return (hi - lo) / (T_HI - T_LO) * 1e6, lo, hi
 
 

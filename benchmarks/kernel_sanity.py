@@ -169,7 +169,7 @@ def main():
     )
     exp_var = 1.0 / (1.0 - lr9 / 2.0)
     for i, x in enumerate(lat):
-        b = np.asarray(params[i]["b"]) if i > 0 else np.asarray(params[0]["b"])
+        b = np.asarray(params[i]["b"])
         d = np.asarray(x) - b[None, :]
         m, v = float(d.mean()), float(d.var())
         assert abs(m) < 0.05, (i, m)

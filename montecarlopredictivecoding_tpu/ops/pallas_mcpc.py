@@ -172,12 +172,16 @@ def _pick_batch_tile(B: int, cap: int = 1024) -> int:
     return B
 
 
-def _loss_mask(loss: str, D: int, mask_k: int, shape2d):
+def _loss_mask(D: int, mask_k: int, shape2d):
     """Column mask for the masked sensory losses: True on the trailing
     ``mask_k`` real features (reference utils/model.py:24-33 clamp only the
-    last round(D*perc) pixels).  ``shape2d`` is (rows, pD)."""
+    last round(D*perc) pixels).  ``mask_k == 0`` selects ALL real features:
+    the reference slices ``output[:, -k:]``, and ``-0:`` is the whole array —
+    so a perc small enough to round to zero clamps everything, not nothing.
+    ``shape2d`` is (rows, pD); pad lanes (col >= D) are always False."""
     col = jax.lax.broadcasted_iota(jnp.int32, shape2d, 1)
-    return jnp.logical_and(col >= D - mask_k, col < D)
+    lo = D - mask_k if mask_k > 0 else 0
+    return jnp.logical_and(col >= lo, col < D)
 
 
 def _traj_scalar_rows(traj, params_flat, target, dims, activation, loss,
@@ -223,8 +227,7 @@ def _traj_scalar_rows(traj, params_flat, target, dims, activation, loss,
     else:
         return jnp.zeros(traj.shape[0], jnp.float32), energy
     if loss.endswith("_mask"):
-        col = jax.lax.broadcasted_iota(jnp.int32, elem.shape[1:], 1)
-        elem = jnp.where(col >= D - mask_k, elem, 0.0)
+        elem = jnp.where(_loss_mask(D, mask_k, elem.shape[1:]), elem, 0.0)
     return jnp.sum(elem, axis=(1, 2)), energy
 
 
@@ -381,13 +384,13 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 s = (logits - y[...]) * inv_var
             elif loss == "bernoulli_mask":
                 s = jnp.where(
-                    _loss_mask(loss, D, mask_k, logits.shape),
+                    _loss_mask(D, mask_k, logits.shape),
                     jax.nn.sigmoid(logits) - y[...],
                     0.0,
                 )
             elif loss == "gaussian_mask":
                 s = jnp.where(
-                    _loss_mask(loss, D, mask_k, logits.shape),
+                    _loss_mask(D, mask_k, logits.shape),
                     (logits - y[...]) * inv_var,
                     0.0,
                 )
@@ -474,8 +477,7 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 loss_s = jnp.zeros(())
             else:
                 if loss.endswith("_mask"):
-                    col = jax.lax.broadcasted_iota(jnp.int32, elem.shape, 1)
-                    elem = jnp.where(col >= D - mask_k, elem, 0.0)
+                    elem = jnp.where(_loss_mask(D, mask_k, elem.shape), elem, 0.0)
                 loss_s = jnp.sum(elem)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
             return jnp.where(

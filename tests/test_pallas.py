@@ -798,6 +798,10 @@ import functools as _ft
     [
         (mcpc.bernoulli_fn_mask, "bernoulli_mask", 0.5),
         (mcpc.fe_fn_mask, "gaussian_mask", 0.25),
+        # round(D*perc) == 0: the reference's output[:, -0:] slicing clamps
+        # the WHOLE image, not nothing — the kernel mask must reproduce that
+        (mcpc.bernoulli_fn_mask, "bernoulli_mask", 0.02),
+        (mcpc.fe_fn_mask, "gaussian_mask", 0.02),
     ],
 )
 def test_masked_loss_kernel_matches_engine(setup, loss_fn, loss_name, perc):
@@ -819,11 +823,13 @@ def test_masked_loss_kernel_matches_engine(setup, loss_fn, loss_name, perc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
-def test_masked_loss_scalars_match_engine(setup):
+@pytest.mark.parametrize("perc", [0.5, 0.02])
+def test_masked_loss_scalars_match_engine(setup, perc):
     """Masked-loss per-capture scalars follow the engine's pre-update
-    loss/energy convention."""
+    loss/energy convention (perc=0.02 pins the round-to-zero = clamp-all
+    quirk through the trajectory-scalar recompute path too)."""
     model, params, latents, target = setup
-    T, lr, perc = 8, 0.02, 0.5
+    T, lr = 8, 0.02
     cfg = EngineConfig(
         plan=build_plan(T, "all", "never"),
         optimizer_x=OptimizerSpec("sgd", lr=lr),
