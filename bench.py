@@ -237,8 +237,9 @@ def main():
         _log("## Fused train step (Adam warm 250 + chain 150 + MC pgrads "
              "+ Adam p-update)", detail)
         _log("", detail)
-        _log(f"Marginal per-batch time from k={k_lo} vs k={k_hi} batches "
-             "scanned per dispatch (the train_mnist pipeline).", detail)
+        _log(f"Marginal per-batch time from k={k_lo} vs k={k_hi} (k=66 at "
+             "B=256) batches scanned per dispatch (the train_mnist "
+             "pipeline).", detail)
         _log("", detail)
         _log("Caveat: marginal fits inherit the tunnel's run-to-run "
              "latency variance (~2x spread observed across repeated "
@@ -246,25 +247,43 @@ def main():
              "with benchmarks/trainstep_bench.py.", detail)
         _log("", detail)
         for batch, bf16 in ((256, False), (256, True), (1024, False), (1024, True)):
-            try:
-                run_lo = make_train_chunk(model, params, key, batch, k_lo,
-                                          warm_T, mixing, sampling, bf16)
-                run_hi = make_train_chunk(model, params, key, batch, k_hi,
-                                          warm_T, mixing, sampling, bf16)
-                run_lo(1), run_hi(1)
-                dt = (_min_time(run_hi) - _min_time(run_lo)) / (
-                    k_hi - k_lo
-                )
-            except Exception as e:
-                _log(f"- B={batch} {'bf16' if bf16 else 'f32 '}: failed "
-                     f"({type(e).__name__})", detail)
-                continue
-            total_steps = warm_T + T_tr
+            # small batches need a wider k spread: at B=256 a ~1 ms/batch
+            # marginal over 16 batches is inside the tunnel's jitter band
+            k_hi_b = k_hi if batch >= 1024 else 66
             # warm/chain: fwd+bwd matmul pass per step; pgrad pass per
             # accumulating step
             flops = (
                 (warm_T + T_tr) * 2 + sampling * 1
             ) * 2.0 * batch * USEFUL
+            try:
+                run_lo = make_train_chunk(model, params, key, batch, k_lo,
+                                          warm_T, mixing, sampling, bf16)
+                run_hi = make_train_chunk(model, params, key, batch, k_hi_b,
+                                          warm_T, mixing, sampling, bf16)
+                run_lo(1), run_hi(1)
+                # a fit whose implied useful-MFU is impossible (>75% of
+                # peak) means tunnel latency variance swamped the marginal
+                # difference — retry rather than report nonsense
+                dt, mfu = 0.0, float("inf")
+                for _attempt in range(3):
+                    dt = (_min_time(run_hi) - _min_time(run_lo)) / (
+                        k_hi_b - k_lo
+                    )
+                    mfu = flops / dt / PEAK_FLOPS if dt > 0 else float("inf")
+                    if 0.0 < mfu <= 0.75:
+                        break
+            except Exception as e:
+                _log(f"- B={batch} {'bf16' if bf16 else 'f32 '}: failed "
+                     f"({type(e).__name__})", detail)
+                continue
+            if not (0.0 < mfu <= 0.75):
+                _log(f"- B={batch} {'bf16' if bf16 else 'f32 '}: unreliable "
+                     f"fit after 3 attempts (marginal {dt * 1e3:.3f} ms/batch "
+                     f"implies {mfu * 100:.0f}% useful-MFU) — tunnel "
+                     "variance swamped the k-spread; see "
+                     "benchmarks/trainstep_bench.py", detail)
+                continue
+            total_steps = warm_T + T_tr
             _log(
                 f"- B={batch} {'bf16' if bf16 else 'f32 '}: "
                 f"{1.0 / dt:,.1f} train-batches/s, "

@@ -1,0 +1,166 @@
+"""Per-op VPU cost probe for the chain kernel's elementwise paths.
+
+The B=256 chain step is ~1.4 us of MXU-bound matmul + ~2.4 us of VPU
+transcendentals (Box-Muller noise + Bernoulli sigmoid).  This probe times a
+T-step serial loop over a [B, 384] f32 VMEM tile per op variant (marginal
+over two T values, min-of-N), to find which transcendental dominates and
+whether phase-specialized polynomial sin/cos beats the Mosaic-lowered ones.
+
+Run (TPU): python benchmarks/vpu_op_bench.py [B ...]
+"""
+
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bench import _min_time
+
+# long loops: per-variant work must dwarf the ~29 ms dispatch noise, or the
+# marginal fit returns garbage (observed: negative per-step costs at T=10k)
+T_LO, T_HI = 100_000, 500_000
+COLS = 384
+
+
+def _bits(shape):
+    return pltpu.bitcast(
+        (pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 9)
+        | jnp.uint32(0x3F800000),
+        jnp.float32,
+    )
+
+
+def _sincos_poly(u):
+    """(cos(2*pi*u), sin(2*pi*u)) for u in [0, 1) via quadrant reduction +
+    odd/even minimax polys on [0, pi/2) — no generic range reduction."""
+    t = 4.0 * u
+    q = jnp.floor(t)
+    f = t - q                      # [0, 1)
+    x = (np.pi / 2.0) * f
+    x2 = x * x
+    # Taylor on [0, pi/2), truncation error < 1e-7 (sin: x^13 term ~5e-8,
+    # cos: x^14 term ~7e-9); fp rounding dominates
+    s = x * (1.0 + x2 * (-1.66666667e-1 + x2 * (8.33333333e-3
+             + x2 * (-1.98412698e-4 + x2 * (2.75573192e-6
+             + x2 * (-2.50521084e-8))))))
+    c = 1.0 + x2 * (-0.5 + x2 * (4.16666667e-2
+             + x2 * (-1.38888889e-3 + x2 * (2.48015873e-5
+             + x2 * (-2.75573192e-7 + x2 * 2.08767570e-9)))))
+    qi = q.astype(jnp.int32) & 3
+    swap = (qi & 1) == 1
+    s1 = jnp.where(swap, c, s)
+    c1 = jnp.where(swap, s, c)
+    neg_s = (qi >= 2)
+    neg_c = (qi == 1) | (qi == 2)
+    return (
+        jnp.where(neg_c, -c1, c1),
+        jnp.where(neg_s, -s1, s1),
+    )
+
+
+def make_variant(name):
+    def body_fn(t, x, shape):
+        if name == "baseline":
+            return x * 0.9999 + 1e-4
+        if name == "prng":
+            return x * 0.9999 + 1e-6 * _bits(shape)
+        if name == "log":
+            return x * 0.1 + jnp.log(jnp.abs(x) + 1.0)
+        if name == "sqrt":
+            return x * 0.1 + jnp.sqrt(jnp.abs(x) + 1.0)
+        if name == "sin":
+            return x * 0.1 + jnp.sin(x)
+        if name == "cos":
+            return x * 0.1 + jnp.cos(x)
+        if name == "exp":
+            return x * 0.1 + jnp.exp(-jnp.abs(x))
+        if name == "sigmoid":
+            return x * 0.1 + jax.nn.sigmoid(x)
+        if name == "tanh":
+            return x * 0.1 + jnp.tanh(x)
+        if name == "sigmoid_tanh":
+            return x * 0.1 + (0.5 + 0.5 * jnp.tanh(0.5 * x))
+        if name == "bm_hw":
+            f1, f2 = _bits(shape), _bits(shape)
+            u1, u2 = 2.0 - f1, f2 - 1.0
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            th = (2.0 * np.pi) * u2
+            return x * 0.9999 + 1e-6 * (r * jnp.cos(th) + r * jnp.sin(th))
+        if name == "bm_poly":
+            f1, f2 = _bits(shape), _bits(shape)
+            u1, u2 = 2.0 - f1, f2 - 1.0
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            c, s = _sincos_poly(u2)
+            return x * 0.9999 + 1e-6 * (r * c + r * s)
+        raise ValueError(name)
+
+    return body_fn
+
+
+def run_variant(name, B, T, seed):
+    body_fn = make_variant(name)
+
+    def kernel(seed_ref, x_ref, o_ref):
+        pltpu.prng_seed(seed_ref[0])
+        shape = x_ref.shape
+
+        def step(t, _):
+            o_ref[...] = body_fn(t, o_ref[...], shape)
+            return ()
+
+        o_ref[...] = x_ref[...]
+        jax.lax.fori_loop(0, T, step, ())
+
+    x = jnp.full((B, COLS), 0.3, jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, COLS), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.array([seed], jnp.int32), x)
+    return (float(out[0, 0]),)
+
+
+def main():
+    batches = [int(a) for a in sys.argv[1:]] or [256]
+    # numeric check of the poly on CPU-side jnp first
+    u = jnp.linspace(0.0, 0.999999, 40001)
+    c, s = _sincos_poly(u)
+    ce = float(jnp.max(jnp.abs(c - jnp.cos(2 * np.pi * u))))
+    se = float(jnp.max(jnp.abs(s - jnp.sin(2 * np.pi * u))))
+    print(f"poly max abs err: cos {ce:.2e}, sin {se:.2e}")
+
+    for B in batches:
+        print(f"== B={B} [B,{COLS}] f32, marginal us/step (T={T_LO} vs {T_HI}) ==")
+        base = None
+        for name in ("baseline", "prng", "log", "sqrt", "sin", "cos", "exp",
+                     "sigmoid", "tanh", "sigmoid_tanh", "bm_hw", "bm_poly"):
+            try:
+                run_variant(name, B, T_LO, 0), run_variant(name, B, T_HI, 1)
+                lo = _min_time(functools.partial(run_variant, name, B, T_LO))
+                hi = _min_time(functools.partial(run_variant, name, B, T_HI))
+                us = (hi - lo) / (T_HI - T_LO) * 1e6
+            except Exception as e:
+                print(f"  {name:13s}: failed ({type(e).__name__}: {e})")
+                continue
+            if name == "baseline":
+                base = us
+            extra = f" (+{us - base:.3f})" if base is not None and name != "baseline" else ""
+            print(f"  {name:13s}: {us:7.3f} us/step{extra}")
+
+
+if __name__ == "__main__":
+    main()

@@ -248,6 +248,51 @@ def _uniforms(shape):
     return 2.0 - f1, f2 - 1.0
 
 
+def _sigmoid(x):
+    """``sigmoid(x)`` via the exact identity ``0.5 + 0.5*tanh(x/2)``.
+
+    Mosaic's ``tanh`` is nearly free while ``jax.nn.sigmoid`` lowers to an
+    exp + divide costing ~0.26 us per [256, 384] f32 tile — the identity
+    saves ~0.1 us/tile on the Bernoulli ``s`` term computed every step
+    (benchmarks/vpu_op_bench.py).  Differences vs ``jax.nn.sigmoid`` are
+    fp-rounding only (the identity is mathematically exact); the
+    kernel<->engine parity suites and the hardware gate bound the chain
+    amplification of that rounding."""
+    return 0.5 + 0.5 * jnp.tanh(0.5 * x)
+
+
+def _sincos_2pi(u):
+    """``(cos(2*pi*u), sin(2*pi*u))`` for ``u`` in [0, 1) via quadrant
+    reduction + odd/even Taylor polynomials on [0, pi/2).
+
+    Mosaic lowers ``jnp.sin``/``jnp.cos`` through generic range reduction
+    at ~2.4 us per [256, 384] f32 tile each — the two costliest VPU ops in
+    the chain step by an order of magnitude (benchmarks/vpu_op_bench.py).
+    The Box-Muller phase is ALREADY a uniform in turns, so the reduction is
+    one floor: this pair costs ~1/3 of the hardware pair inside the full
+    Box-Muller draw.  Max abs error ~5e-7 (fp-rounding dominated) — orders
+    below the noise-law gate's statistical resolution (kernel_sanity)."""
+    t = 4.0 * u
+    q = jnp.floor(t)
+    x = (np.pi / 2.0) * (t - q)          # [0, pi/2)
+    x2 = x * x
+    # sin truncation error < 5e-8 (x^13 term), cos < 7e-9 (x^14 term)
+    s = x * (1.0 + x2 * (-1.66666667e-1 + x2 * (8.33333333e-3
+             + x2 * (-1.98412698e-4 + x2 * (2.75573192e-6
+             + x2 * (-2.50521084e-8))))))
+    c = 1.0 + x2 * (-0.5 + x2 * (4.16666667e-2
+             + x2 * (-1.38888889e-3 + x2 * (2.48015873e-5
+             + x2 * (-2.75573192e-7 + x2 * 2.08767570e-9)))))
+    qi = q.astype(jnp.int32) & 3
+    swap = (qi & 1) == 1
+    s1 = jnp.where(swap, c, s)
+    c1 = jnp.where(swap, s, c)
+    return (
+        jnp.where((qi == 1) | (qi == 2), -c1, c1),
+        jnp.where(qi >= 2, -s1, s1),
+    )
+
+
 def _normals(shape):
     """Standard normals via Box-Muller, using both the cos and sin branches
     so each (log, sqrt) pair yields two normals.  (Used by the unpacked
@@ -257,8 +302,8 @@ def _normals(shape):
     half = (cols + 1) // 2
     u1, u2 = _uniforms((rows, half))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    theta = 2.0 * np.pi * u2
-    z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
+    c, s = _sincos_2pi(u2)
+    z = jnp.concatenate([r * c, r * s], axis=1)
     return z[:, :cols]
 
 
@@ -379,13 +424,13 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 err3 = x3_out[...] - logits
                 return -err3 * inv_var3, err3
             if loss == "bernoulli":
-                s = jax.nn.sigmoid(logits) - y[...]
+                s = _sigmoid(logits) - y[...]
             elif loss == "gaussian":
                 s = (logits - y[...]) * inv_var
             elif loss == "bernoulli_mask":
                 s = jnp.where(
                     _loss_mask(D, mask_k, logits.shape),
-                    jax.nn.sigmoid(logits) - y[...],
+                    _sigmoid(logits) - y[...],
                     0.0,
                 )
             elif loss == "gaussian_mask":
@@ -520,15 +565,17 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             )
 
         def box_muller(shape, mask):
-            """Both Box-Muller branches as VALUES (one log/sqrt/cos/sin per
+            """Both Box-Muller branches as VALUES (one log/sqrt/sincos per
             pair of steps — consumed by two consecutive inlined steps, no
-            scratch round-trip, no per-step predication)."""
+            scratch round-trip, no per-step predication).  The phase uses
+            the polynomial sincos (_sincos_2pi): Mosaic's sin/cos are the
+            two costliest ops in the whole step."""
             u1, u2 = _uniforms(shape)
             r = jnp.sqrt(-2.0 * jnp.log(u1))
-            theta = (2.0 * np.pi) * u2
+            c, s = _sincos_2pi(u2)
             return (
-                jnp.where(mask, r * jnp.cos(theta), 0.0),
-                jnp.where(mask, r * jnp.sin(theta), 0.0),
+                jnp.where(mask, r * c, 0.0),
+                jnp.where(mask, r * s, 0.0),
             )
 
         def body(m_ref, v_ref, m3_ref, v3_ref):
@@ -787,7 +834,7 @@ def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
             logits = mm(h2, w3[...]) + b3[...][None, :]
 
             if loss == "bernoulli":
-                s = jax.nn.sigmoid(logits) - y[...]
+                s = _sigmoid(logits) - y[...]
             elif loss == "gaussian":
                 s = (logits - y[...]) * inv_var
             else:  # unclamped

@@ -1165,3 +1165,24 @@ def test_eligibility_matrix(setup):
                                           "_reduction": "mean"}), False)
     # per-datapoint overall capture is engine-only
     dispatches(sgd, {**bern, "is_return_batchelement_loss": True}, False)
+
+
+def test_sincos_2pi_accuracy():
+    """The kernel's polynomial Box-Muller phase (ops/pallas_mcpc.py
+    _sincos_2pi) must match cos/sin(2*pi*u) to fp-rounding accuracy over the
+    full [0, 1) uniform domain, including the quadrant seams."""
+    from montecarlopredictivecoding_tpu.ops.pallas_mcpc import _sincos_2pi
+
+    u = jnp.concatenate([
+        jnp.linspace(0.0, 1.0, 100_001, endpoint=False),
+        # quadrant seams from both sides at f32 resolution
+        jnp.float32([0.25, 0.5, 0.75]) - jnp.float32(6e-8),
+        jnp.float32([0.0, 0.25, 0.5, 0.75]),
+        jax.random.uniform(jax.random.PRNGKey(7), (100_000,)),
+    ]).astype(jnp.float32)
+    c, s = _sincos_2pi(u)
+    u64 = np.asarray(u, np.float64)
+    np.testing.assert_allclose(np.asarray(c), np.cos(2 * np.pi * u64), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s), np.sin(2 * np.pi * u64), atol=1e-6)
+    # unit-circle identity keeps Box-Muller radius exact
+    np.testing.assert_allclose(np.asarray(c * c + s * s), 1.0, atol=2e-6)
