@@ -218,6 +218,12 @@ class PCTrainer:
         # f32 state) once the batch is wide enough to be compute-bound;
         # True/False force/disable.
         self.use_pallas_bf16: tp.Union[str, bool] = "auto"
+        # HBM budget (bytes) for the INTERNAL stride-1 trajectory that
+        # serves per-step loss/energy scalars when
+        # is_return_results_every_t=True with no trajectory captures (the
+        # reference's default config); every_t runs whose trajectory would
+        # exceed it fall back to the scan engine.
+        self.use_pallas_scalar_traj_budget: int = 1 << 30
 
     # -- reference utility surface (pc_trainer.py:312-461) ---------------------
 
@@ -350,8 +356,36 @@ class PCTrainer:
             return None
         if wants_traj and not self.use_pallas_capture:
             return None
-        if cfg.capture_every_t and not (wants_traj and self.use_pallas_capture):
-            return None
+        scalars_via_traj = False
+        if cfg.capture_every_t and not wants_traj:
+            # Per-step loss/energy curves (the reference's DEFAULT
+            # is_return_results_every_t=True, pc_trainer.py:777-795) are
+            # served from an INTERNAL latent-trajectory capture: the kernel
+            # recomputes pre-update scalar rows from the trajectory
+            # (ops.mcpc_chain_pallas return_scalars), so an every_t run
+            # rides the trajectory DMA even when the caller asked for no
+            # captures.  Gate on the trajectory's HBM footprint — huge
+            # chains (e.g. T=10000 noise chains at wide batch) fall back to
+            # the engine rather than spill gigabytes.
+            if not self.use_pallas_capture:
+                return None
+            from ..ops.pallas_mcpc import _pad128, aligned_layout
+
+            dims_ = [
+                self.gen.model.modules[i].out_dim
+                for i in self.gen.model.linear_indices[:-1]
+            ]
+            _, _, xw = aligned_layout(dims_)
+            n_cap = -(-self.T // max(int(cfg.capture_stride), 1))
+            traj_bytes = n_cap * batch_size * xw * 4
+            if output_var is not None:
+                d_out = self.gen.model.modules[
+                    self.gen.model.linear_indices[-1]
+                ].out_dim
+                traj_bytes += n_cap * batch_size * _pad128(d_out) * 4
+            if traj_bytes > self.use_pallas_scalar_traj_budget:
+                return None
+            scalars_via_traj = True
         if mode == "warm":
             # Adam moments start at zero in the kernel: require a fresh
             # optimizer (the per-batch resample pattern); noise lives in the
@@ -392,7 +426,7 @@ class PCTrainer:
             # (reference figure_3.py:47-55)
             return None
         cap = {}
-        if wants_traj:
+        if wants_traj or scalars_via_traj:
             cap = {
                 "capture_stride": max(int(cfg.capture_stride), 1),
                 "capture_xs": cfg.capture_xs,

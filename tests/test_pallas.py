@@ -1186,3 +1186,81 @@ def test_sincos_2pi_accuracy():
     np.testing.assert_allclose(np.asarray(s), np.sin(2 * np.pi * u64), atol=1e-6)
     # unit-circle identity keeps Box-Muller radius exact
     np.testing.assert_allclose(np.asarray(c * c + s * s), 1.0, atol=2e-6)
+
+
+def test_trainer_every_t_scalars_only_matches_engine(setup):
+    """The reference's DEFAULT config — is_return_results_every_t=True with
+    NO trajectory captures (pc_trainer.py:777-795) — rides the kernel via an
+    internal stride-1 trajectory that serves the per-step loss/energy rows;
+    the curves must match the engine elementwise.  Covers both modes (SGD
+    Langevin chain, Adam warm descent) and a strided variant."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(0)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+
+    def run(mode, opt, stride=1):
+        gen = mcpc.GenerativeModel(model, key=23)
+        if opt == "sgd":
+            tr = mcpc.PCTrainer(
+                gen, T=10, optimizer_x_fn="sgd",
+                optimizer_x_kwargs={"lr": 0.02},
+                update_p_at="never", optimizer_p_fn=None,
+            )
+        else:
+            tr = mcpc.PCTrainer(
+                gen, T=10, optimizer_x_fn="adam",
+                optimizer_x_kwargs={"lr": 0.05},
+                update_p_at="never", optimizer_p_fn=None,
+            )
+        tr.use_pallas = mode == "pallas"
+        took = []
+        orig = tr._run_pallas
+        tr._run_pallas = lambda *a, **k: (took.append(1), orig(*a, **k))[1]
+        res = tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn,
+            loss_fn_kwargs={"_target": target},
+            callback_after_t=mcpc.LangevinStep(var=None) if opt == "sgd" else None,
+            is_sample_x_at_batch_start=True,
+            capture_stride=stride,
+            key=jax.random.PRNGKey(6),
+        )
+        if mode == "pallas":
+            assert took, f"every_t scalars-only ({opt}) fell back to engine"
+        return res
+
+    for opt in ("sgd", "adam"):
+        for stride in (1, 3):
+            eng, pal = run("engine", opt, stride), run("pallas", opt, stride)
+            assert pal["loss"].shape == eng["loss"].shape, (opt, stride)
+            for k in ("loss", "energy", "overall"):
+                np.testing.assert_allclose(
+                    np.asarray(pal[k]), np.asarray(eng[k]), rtol=2e-4,
+                    err_msg=f"{opt} stride={stride} {k}",
+                )
+
+
+def test_every_t_scalars_budget_fallback(setup):
+    """An every_t run whose internal scalar trajectory would exceed the HBM
+    budget must fall back to the engine rather than spill."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(0)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    gen = mcpc.GenerativeModel(model, key=23)
+    tr = mcpc.PCTrainer(
+        gen, T=10, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.02},
+        update_p_at="never", optimizer_p_fn=None,
+    )
+    tr.use_pallas = True
+    tr.use_pallas_scalar_traj_budget = 64  # bytes: nothing fits
+    took = []
+    orig = tr._run_pallas
+    tr._run_pallas = lambda *a, **k: (took.append(1), orig(*a, **k))[1]
+    res = tr.train_on_batch(
+        jnp.zeros((B, 4)), loss_fn=mcpc.bernoulli_fn,
+        loss_fn_kwargs={"_target": target}, key=jax.random.PRNGKey(6),
+    )
+    assert not took, "budget-exceeding every_t run should use the engine"
+    assert res["loss"].shape[0] == 10
