@@ -237,9 +237,10 @@ def main():
         _log("## Fused train step (Adam warm 250 + chain 150 + MC pgrads "
              "+ Adam p-update)", detail)
         _log("", detail)
-        _log(f"Marginal per-batch time from k={k_lo} vs k={k_hi} (k=66 at "
-             "B=256) batches scanned per dispatch (the train_mnist "
-             "pipeline).", detail)
+        k_hi_small = 66
+        _log(f"Marginal per-batch time from k={k_lo} vs k={k_hi} "
+             f"(k={k_hi_small} below B=1024) batches scanned per dispatch "
+             "(the train_mnist pipeline).", detail)
         _log("", detail)
         _log("Caveat: marginal fits inherit the tunnel's run-to-run "
              "latency variance (~2x spread observed across repeated "
@@ -249,7 +250,7 @@ def main():
         for batch, bf16 in ((256, False), (256, True), (1024, False), (1024, True)):
             # small batches need a wider k spread: at B=256 a ~1 ms/batch
             # marginal over 16 batches is inside the tunnel's jitter band
-            k_hi_b = k_hi if batch >= 1024 else 66
+            k_hi_b = k_hi if batch >= 1024 else k_hi_small
             # warm/chain: fwd+bwd matmul pass per step; pgrad pass per
             # accumulating step
             flops = (

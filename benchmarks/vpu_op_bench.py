@@ -25,6 +25,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bench import _min_time
+# time the KERNEL'S actual implementations, not private copies — a
+# coefficient/reduction change in ops/pallas_mcpc.py is what this bench
+# exists to measure (accuracy is pinned by
+# tests/test_pallas.py::test_sincos_2pi_accuracy)
+from montecarlopredictivecoding_tpu.ops.pallas_mcpc import (
+    _sincos_2pi as _sincos_poly,
+    _uniforms,
+)
 
 # long loops: per-variant work must dwarf the ~29 ms dispatch noise, or the
 # marginal fit returns garbage (observed: negative per-step costs at T=10k)
@@ -33,38 +41,12 @@ COLS = 384
 
 
 def _bits(shape):
+    """One exponent-bitcast uniform in [1, 2) (the kernel draws these in
+    pairs via _uniforms; single-draw variant for the per-op probes)."""
     return pltpu.bitcast(
         (pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 9)
         | jnp.uint32(0x3F800000),
         jnp.float32,
-    )
-
-
-def _sincos_poly(u):
-    """(cos(2*pi*u), sin(2*pi*u)) for u in [0, 1) via quadrant reduction +
-    odd/even minimax polys on [0, pi/2) — no generic range reduction."""
-    t = 4.0 * u
-    q = jnp.floor(t)
-    f = t - q                      # [0, 1)
-    x = (np.pi / 2.0) * f
-    x2 = x * x
-    # Taylor on [0, pi/2), truncation error < 1e-7 (sin: x^13 term ~5e-8,
-    # cos: x^14 term ~7e-9); fp rounding dominates
-    s = x * (1.0 + x2 * (-1.66666667e-1 + x2 * (8.33333333e-3
-             + x2 * (-1.98412698e-4 + x2 * (2.75573192e-6
-             + x2 * (-2.50521084e-8))))))
-    c = 1.0 + x2 * (-0.5 + x2 * (4.16666667e-2
-             + x2 * (-1.38888889e-3 + x2 * (2.48015873e-5
-             + x2 * (-2.75573192e-7 + x2 * 2.08767570e-9)))))
-    qi = q.astype(jnp.int32) & 3
-    swap = (qi & 1) == 1
-    s1 = jnp.where(swap, c, s)
-    c1 = jnp.where(swap, s, c)
-    neg_s = (qi >= 2)
-    neg_c = (qi == 1) | (qi == 2)
-    return (
-        jnp.where(neg_c, -c1, c1),
-        jnp.where(neg_s, -s1, s1),
     )
 
 
@@ -91,14 +73,12 @@ def make_variant(name):
         if name == "sigmoid_tanh":
             return x * 0.1 + (0.5 + 0.5 * jnp.tanh(0.5 * x))
         if name == "bm_hw":
-            f1, f2 = _bits(shape), _bits(shape)
-            u1, u2 = 2.0 - f1, f2 - 1.0
+            u1, u2 = _uniforms(shape)
             r = jnp.sqrt(-2.0 * jnp.log(u1))
             th = (2.0 * np.pi) * u2
             return x * 0.9999 + 1e-6 * (r * jnp.cos(th) + r * jnp.sin(th))
         if name == "bm_poly":
-            f1, f2 = _bits(shape), _bits(shape)
-            u1, u2 = 2.0 - f1, f2 - 1.0
+            u1, u2 = _uniforms(shape)
             r = jnp.sqrt(-2.0 * jnp.log(u1))
             c, s = _sincos_poly(u2)
             return x * 0.9999 + 1e-6 * (r * c + r * s)

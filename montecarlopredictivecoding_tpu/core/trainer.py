@@ -293,6 +293,19 @@ class PCTrainer:
 
     # -- fused-kernel fast path ---------------------------------------------------
 
+    def _latent_layout(self):
+        """Latent dims and their lane-aligned packed layout ``(pads, offs,
+        XW)`` — the single source for both the eligibility budget estimate
+        and ``_run_pallas``'s trajectory/moment unpacking, so the two can't
+        drift."""
+        from ..ops.pallas_mcpc import aligned_layout
+
+        dims = [
+            self.gen.model.modules[i].out_dim
+            for i in self.gen.model.linear_indices[:-1]
+        ]
+        return dims, aligned_layout(dims)
+
     def _pallas_eligible(
         self, cfg: EngineConfig, loss_fn, is_optimize_inputs, langevin_var,
         batch_size: int,
@@ -369,13 +382,9 @@ class PCTrainer:
             # the engine rather than spill gigabytes.
             if not self.use_pallas_capture:
                 return None
-            from ..ops.pallas_mcpc import _pad128, aligned_layout
+            from ..ops.pallas_mcpc import _pad128
 
-            dims_ = [
-                self.gen.model.modules[i].out_dim
-                for i in self.gen.model.linear_indices[:-1]
-            ]
-            _, _, xw = aligned_layout(dims_)
+            _, (_, _, xw) = self._latent_layout()
             n_cap = -(-self.T // max(int(cfg.capture_stride), 1))
             traj_bytes = n_cap * batch_size * xw * 4
             if output_var is not None:
@@ -383,6 +392,9 @@ class PCTrainer:
                     self.gen.model.linear_indices[-1]
                 ].out_dim
                 traj_bytes += n_cap * batch_size * _pad128(d_out) * 4
+            # the scalar recompute itself is chunked (ops._traj_scalar_rows,
+            # _SCALAR_RECOMPUTE_ROWS), so the trajectory is the dominant
+            # footprint this gate needs to bound
             if traj_bytes > self.use_pallas_scalar_traj_budget:
                 return None
             scalars_via_traj = True
@@ -535,13 +547,7 @@ class PCTrainer:
         warm_mv = outs[k] if dispatch["mode"] == "warm" else None
         # aligned-layout geometry shared by the warm-moment graft and the
         # trajectory unpacking below
-        from ..ops.pallas_mcpc import aligned_layout
-
-        dims = [
-            gen.model.modules[i].out_dim
-            for i in gen.model.linear_indices[:-1]
-        ]
-        _, offs, _ = aligned_layout(dims)
+        dims, (_, offs, _) = self._latent_layout()
         D_out = gen.model.modules[gen.model.linear_indices[-1]].out_dim
         # the params in force DURING the chain (captures are pre-update)
         chain_last_linear = gen.params[-1]

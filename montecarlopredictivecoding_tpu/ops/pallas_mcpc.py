@@ -184,6 +184,15 @@ def _loss_mask(D: int, mask_k: int, shape2d):
     return jnp.logical_and(col >= lo, col < D)
 
 
+# Target live-row count for the trajectory scalar recompute: the forward
+# intermediates (logits/elem/err at the 784-wide output) are ~(3*D+d1+d2)/XW
+# times the trajectory slice, so recomputing all captured steps at once
+# would peak at several times the trajectory bytes the trainer's
+# eligibility budget counts.  Chunking keeps the recompute's live set to
+# ~chunk_rows * (3*D+d1+d2) * 4 bytes (~200 MB on the flagship dims).
+_SCALAR_RECOMPUTE_ROWS = 16384
+
+
 def _traj_scalar_rows(traj, params_flat, target, dims, activation, loss,
                       inv_var, mask_k=0, traj3=None, inv_var3=None):
     """Pre-update loss/energy sums for each captured step, recomputed from
@@ -192,7 +201,40 @@ def _traj_scalar_rows(traj, params_flat, target, dims, activation, loss,
     ``params_flat`` = (b0, w1, b1, w2, b2, w3, b3) (real, unpadded).  With
     ``traj3`` (output-PC joint samplers) the trailing site's energy
     0.5*inv_var3*(x3-logits)^2 is added.  Returns ([n_cap] loss, [n_cap]
-    energy)."""
+    energy).  Long trajectories are recomputed in fixed row chunks
+    (lax.map) so the live set stays bounded regardless of n_cap."""
+    n_cap, B = traj.shape[0], traj.shape[1]
+    chunk = max(1, _SCALAR_RECOMPUTE_ROWS // B)
+    if n_cap > chunk:
+        block = functools.partial(
+            _traj_scalar_block, params_flat=params_flat, target=target,
+            dims=dims, activation=activation, loss=loss, inv_var=inv_var,
+            mask_k=mask_k, inv_var3=inv_var3,
+        )
+        n_full = (n_cap // chunk) * chunk
+        head = traj[:n_full].reshape((-1, chunk) + traj.shape[1:])
+        if traj3 is not None:
+            head3 = traj3[:n_full].reshape((-1, chunk) + traj3.shape[1:])
+            l_h, e_h = jax.lax.map(lambda a: block(a[0], traj3=a[1]),
+                                   (head, head3))
+        else:
+            l_h, e_h = jax.lax.map(lambda a: block(a, traj3=None), head)
+        loss_rows, energy_rows = l_h.reshape(-1), e_h.reshape(-1)
+        if n_full < n_cap:
+            l_t, e_t = block(
+                traj[n_full:],
+                traj3=traj3[n_full:] if traj3 is not None else None,
+            )
+            loss_rows = jnp.concatenate([loss_rows, l_t])
+            energy_rows = jnp.concatenate([energy_rows, e_t])
+        return loss_rows, energy_rows
+    return _traj_scalar_block(traj, params_flat, target, dims, activation,
+                              loss, inv_var, mask_k, traj3, inv_var3)
+
+
+def _traj_scalar_block(traj, params_flat, target, dims, activation, loss,
+                       inv_var, mask_k=0, traj3=None, inv_var3=None):
+    """One chunk of `_traj_scalar_rows` — all intermediates live at once."""
     b0, w1, b1, w2, b2, w3, b3 = params_flat
     d0, d1, d2, D = dims
     _, offs, _ = aligned_layout((d0, d1, d2))

@@ -1264,3 +1264,40 @@ def test_every_t_scalars_budget_fallback(setup):
     )
     assert not took, "budget-exceeding every_t run should use the engine"
     assert res["loss"].shape[0] == 10
+
+
+def test_traj_scalar_rows_chunked_matches_block(monkeypatch):
+    """Long-trajectory scalar recompute is chunked (bounded live set,
+    ops._SCALAR_RECOMPUTE_ROWS); chunked rows must equal the one-shot
+    block computation, remainder chunk included."""
+    from montecarlopredictivecoding_tpu.ops import pallas_mcpc as pk
+
+    key = jax.random.PRNGKey(11)
+    dims = (4, 8, 8)
+    D = 16
+    _, offs, xw = pk.aligned_layout(dims)
+    n_cap, B = 37, 4
+    traj = jax.random.normal(key, (n_cap, B, xw))
+    params = mcpc.make_mlp_model(4, 8, 8, 16).init(key)
+    flat = (params[0]["b"], params[1]["w"], params[1]["b"],
+            params[2]["w"], params[2]["b"], params[3]["w"], params[3]["b"])
+    target = (jax.random.uniform(key, (B, D)) > 0.5).astype(jnp.float32)
+
+    ref = pk._traj_scalar_block(traj, flat, target, dims + (D,), "relu",
+                                "bernoulli", 1.0)
+    # force chunking (chunk = max(1, ROWS // B) -> 5-row chunks + a 2-row
+    # remainder over n_cap=37)
+    monkeypatch.setattr(pk, "_SCALAR_RECOMPUTE_ROWS", 20)
+    chunked = pk._traj_scalar_rows(traj, flat, target, dims + (D,), "relu",
+                                   "bernoulli", 1.0)
+    for a, b in zip(chunked, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # output-PC leg: the trailing site's trajectory rides the same chunking
+    traj3 = jax.random.normal(jax.random.PRNGKey(12), (n_cap, B, 128))
+    ref3 = pk._traj_scalar_block(traj, flat, target, dims + (D,), "relu",
+                                 "none", 1.0, traj3=traj3, inv_var3=2.0)
+    chunked3 = pk._traj_scalar_rows(traj, flat, target, dims + (D,), "relu",
+                                    "none", 1.0, traj3=traj3, inv_var3=2.0)
+    for a, b in zip(chunked3, ref3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
