@@ -14,7 +14,6 @@ Run: python benchmarks/layout_bench.py
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -23,25 +22,19 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
 
 import jax.numpy as jnp
-import numpy as np
 
 import montecarlopredictivecoding_tpu as mcpc
 from montecarlopredictivecoding_tpu.ops import mcpc_chain_pallas
 
-from bench import DIMS, USEFUL  # single source of the flagship dims / useful-FLOP accounting
+# single source of the flagship dims / useful-FLOP accounting / timing stat
+from bench import DIMS, USEFUL, _median_time
 
 T_CHAIN = 2000
 WARM_T, MIXING, SAMPLING = 250, 50, 100
 
 
 def median_time(fn, reps=7):
-    ts = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        fn(2 + i)
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+    return _median_time(fn, reps=reps)
 
 
 def main():
@@ -69,7 +62,7 @@ def main():
                         T=T_CHAIN, lr=0.01, noise_var=2.0, loss="bernoulli",
                         bf16_matmul=bf16, matmul_layout=layout,
                     )
-                    float(out[0][0, 0])
+                    return (float(out[0][0, 0]),)
 
                 chain(1)
                 dt = median_time(chain)
@@ -88,7 +81,7 @@ def main():
                         warm_T=WARM_T, warm_lr=0.7, bf16_matmul=bf16,
                         matmul_layout=layout,
                     )
-                    float(pg[3]["w"][0, 0])
+                    return (float(pg[3]["w"][0, 0]),)
 
                 train(1)
                 dt = median_time(train)
@@ -130,7 +123,7 @@ def phase_isolation():
                     params, latents, target, jnp.int32(seed),
                     lr=0.1, loss="bernoulli", **kw,
                 )
-                float(out[0][0][0, 0])
+                return (float(out[0][0][0, 0]),)
             run(1)
             dt = median_time(run)
             print(f"| {B} | {name} | {dt*1e3:.1f} ms | {dt/STEPS*1e6:.2f} us |")
