@@ -176,6 +176,33 @@ def main():
         assert abs(v - exp_var) < 0.05 * exp_var, (i, v, exp_var)
     print(f"noise law OK: var={v:.4f} (expected {exp_var:.4f})")
 
+    # 10) in-kernel per-step scalars (scalar_stride, the every_t default
+    # config): the dynamic-sublane slot writes must codegen, rows must be
+    # finite, and the final-step slot must equal the final-only mode's row
+    # bit-for-bit on the same deterministic chain (shared slot math across
+    # the 64-pair lane packing and the grid-tiled accumulation)
+    params, latents, target = setup("relu", B=256)
+    common = dict(T=70, lr=0.02, noise_var=None, loss="bernoulli")
+    _, _, s_steps = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(12), return_scalars=True,
+        scalar_stride=1, **common,
+    )
+    _, _, s_final = mcpc_chain_pallas(
+        params, latents, target, jnp.int32(12), return_scalars=True,
+        **common,
+    )
+    assert s_steps["loss"].shape == (71,), s_steps["loss"].shape
+    assert np.isfinite(np.asarray(s_steps["loss"])).all()
+    np.testing.assert_array_equal(
+        np.asarray(s_steps["loss"][-1]), np.asarray(s_final["loss"][-1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_steps["energy"][-1]), np.asarray(s_final["energy"][-1])
+    )
+    # monotone-ish MAP descent: the per-step curve must actually move
+    assert float(s_steps["loss"][-1]) < float(s_steps["loss"][0])
+    print("per-step scalars OK:", float(s_steps["loss"][-1]))
+
     print("KERNEL_SANITY_PASS")
 
 

@@ -218,12 +218,6 @@ class PCTrainer:
         # f32 state) once the batch is wide enough to be compute-bound;
         # True/False force/disable.
         self.use_pallas_bf16: tp.Union[str, bool] = "auto"
-        # HBM budget (bytes) for the INTERNAL stride-1 trajectory that
-        # serves per-step loss/energy scalars when
-        # is_return_results_every_t=True with no trajectory captures (the
-        # reference's default config); every_t runs whose trajectory would
-        # exceed it fall back to the scan engine.
-        self.use_pallas_scalar_traj_budget: int = 1 << 30
 
     # -- reference utility surface (pc_trainer.py:312-461) ---------------------
 
@@ -369,35 +363,14 @@ class PCTrainer:
             return None
         if wants_traj and not self.use_pallas_capture:
             return None
-        scalars_via_traj = False
+        scalar_stride = 0
         if cfg.capture_every_t and not wants_traj:
             # Per-step loss/energy curves (the reference's DEFAULT
-            # is_return_results_every_t=True, pc_trainer.py:777-795) are
-            # served from an INTERNAL latent-trajectory capture: the kernel
-            # recomputes pre-update scalar rows from the trajectory
-            # (ops.mcpc_chain_pallas return_scalars), so an every_t run
-            # rides the trajectory DMA even when the caller asked for no
-            # captures.  Gate on the trajectory's HBM footprint — huge
-            # chains (e.g. T=10000 noise chains at wide batch) fall back to
-            # the engine rather than spill gigabytes.
-            if not self.use_pallas_capture:
-                return None
-            from ..ops.pallas_mcpc import _pad128
-
-            _, (_, _, xw) = self._latent_layout()
-            n_cap = -(-self.T // max(int(cfg.capture_stride), 1))
-            traj_bytes = n_cap * batch_size * xw * 4
-            if output_var is not None:
-                d_out = self.gen.model.modules[
-                    self.gen.model.linear_indices[-1]
-                ].out_dim
-                traj_bytes += n_cap * batch_size * _pad128(d_out) * 4
-            # the scalar recompute itself is chunked (ops._traj_scalar_rows,
-            # _SCALAR_RECOMPUTE_ROWS), so the trajectory is the dominant
-            # footprint this gate needs to bound
-            if traj_bytes > self.use_pallas_scalar_traj_budget:
-                return None
-            scalars_via_traj = True
+            # is_return_results_every_t=True, pc_trainer.py:777-795) with no
+            # trajectory captures: the kernel emits the scalar rows itself
+            # (lane-packed VMEM slots, ops.mcpc_chain_pallas scalar_stride)
+            # — no HBM trajectory, so any chain length qualifies
+            scalar_stride = max(int(cfg.capture_stride), 1)
         if mode == "warm":
             # Adam moments start at zero in the kernel: require a fresh
             # optimizer (the per-batch resample pattern); noise lives in the
@@ -438,13 +411,15 @@ class PCTrainer:
             # (reference figure_3.py:47-55)
             return None
         cap = {}
-        if wants_traj or scalars_via_traj:
+        if wants_traj:
             cap = {
                 "capture_stride": max(int(cfg.capture_stride), 1),
                 "capture_xs": cfg.capture_xs,
                 "capture_representations": cfg.capture_representations,
                 "capture_outputs": cfg.capture_outputs,
             }
+        elif scalar_stride:
+            cap = {"scalar_stride": scalar_stride}
         base = {"loss": loss_name, "mode": mode, "activation": activation,
                 "output_var": output_var, "mask_perc": mask_perc}
         if not plan.update_p_at:
@@ -470,6 +445,7 @@ class PCTrainer:
         target = loss_fn_kwargs.get("_target")
         input_var = loss_fn_kwargs.get("_var") or 1.0
         stride = dispatch.get("capture_stride", 0)
+        scalar_stride = dispatch.get("scalar_stride", 0)
         on_tpu = jax.default_backend() == "tpu"
         # set_x_lr folds into the kernel's static lr (the host mirror is
         # exact — eligibility rejects unknown/dynamic scales).  Both SGD and
@@ -511,6 +487,10 @@ class PCTrainer:
                 on_tpu
                 and inputs.shape[0] >= 1024
                 and dispatch["mode"] == "warm"
+                # per-step scalar curves are metric output: keep the whole
+                # dispatch f32 rather than report bf16-rounded loss/energy
+                # rows (an explicit use_pallas_bf16=True still opts in)
+                and not dispatch.get("scalar_stride")
             )
         output_pc = dispatch.get("output_var") is not None
         outs = mcpc_chain_pallas(
@@ -523,6 +503,7 @@ class PCTrainer:
             mixing=dispatch["mixing"],
             with_pgrads=dispatch["with_pgrads"],
             capture_stride=stride,
+            scalar_stride=scalar_stride,
             activation=dispatch["activation"],
             return_scalars=True,
             bf16_matmul=bool(bf16),
@@ -601,7 +582,7 @@ class PCTrainer:
         # convention, pc_trainer.py:777-795): rows 0..n_cap-1 are the
         # captured steps, the last row is the final step
         loss_rows, energy_rows = scalars["loss"], scalars["energy"]
-        if cfg.capture_every_t and traj is not None:
+        if cfg.capture_every_t and (traj is not None or scalar_stride):
             loss_v, energy_v = loss_rows[:-1], energy_rows[:-1]
         else:
             loss_v, energy_v = loss_rows[-1:], energy_rows[-1:]

@@ -359,6 +359,18 @@ def _normals(shape):
     return z[:, :cols]
 
 
+def _scalar_slots(T: int, warm_T: int, scalar_stride: int):
+    """(n_scal, n_rows) for the per-step scalar mode: one slot per emitted
+    step (t % stride == 0 over the Langevin phase, or the warm phase for
+    warm-only chains) plus the final-step slot; 64 (loss, energy) lane
+    pairs pack per 128-lane row."""
+    if scalar_stride <= 0:
+        return 0, 0
+    cap_T = T if T > 0 else warm_T
+    n_scal = -(-cap_T // scalar_stride) + 1
+    return n_scal, -(-n_scal // 64)
+
+
 def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         loss: str, inv_var: float, with_pgrads: bool,
                         dims: tuple, bf16_matmul: bool = True,
@@ -372,7 +384,8 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         output_pc: bool = False,
                         inv_var3: float = 1.0,
                         mask_k: int = 0,
-                        layout: str = "blockdiag"):
+                        layout: str = "blockdiag",
+                        scalar_stride: int = 0):
     """Aligned-packed chain kernel; see the module docstring for layout and
     matmul-strategy notes."""
     d0, d1, d2, D = dims
@@ -381,6 +394,13 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
     perlayer = layout == "perlayer"
     # skip the output-layer backward matmul when nothing clamps the output
     has_s = output_pc or loss != "none"
+    # per-step scalar mode (scalar_stride > 0): slot r's (loss, energy)
+    # pair lives at row r//64, lanes (2*(r%64), 2*(r%64)+1) of the [n_rows,
+    # 128] `scal` output — ~240 KB of VMEM for a 30k-step chain (469 rows
+    # x 128 lanes x 4 B), versus the multi-GB HBM trajectory the recompute
+    # path would need
+    n_scal, _ = _scalar_slots(T, warm[0] if warm is not None else 0,
+                              scalar_stride)
 
     def kernel(
         seed_ref,  # SMEM [1]
@@ -541,14 +561,10 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                           err3=err3)
             return G, blocks
 
-        def scal_row(bl):
-            """[1, 128] row: lane 0 = sensory loss, lane 1 = layer energy —
-            both batch-tile sums (accumulated across tiles), computed from
-            the PRE-update state (the engine/reference scalar convention,
-            pc_trainer.py:777-795).  Only the FINAL step's row is emitted
-            from the kernel; per-captured-step scalars are recomputed from
-            the HBM trajectory outside the kernel (mcpc_chain_pallas), which
-            keeps the hot loop free of the O(n_cap) masked accumulator."""
+        def scal_sums(bl):
+            """(loss, energy) batch-tile sums from the PRE-update state (the
+            engine/reference scalar convention, pc_trainer.py:777-795) —
+            accumulated across batch tiles by the callers below."""
             energy_s = 0.5 * (
                 jnp.sum(bl["err0"] * bl["err0"])
                 + jnp.sum(bl["E1"] * bl["E1"])
@@ -576,10 +592,33 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 if loss.endswith("_mask"):
                     elem = jnp.where(_loss_mask(D, mask_k, elem.shape), elem, 0.0)
                 loss_s = jnp.sum(elem)
+            return loss_s, energy_s
+
+        def scal_row(bl):
+            """[1, 128] row: lane 0 = sensory loss, lane 1 = layer energy.
+            Only the FINAL step's row is emitted in this mode; per-captured-
+            step scalars are recomputed from the HBM trajectory outside the
+            kernel (mcpc_chain_pallas), which keeps the hot loop free of the
+            O(n_cap) masked accumulator."""
+            loss_s, energy_s = scal_sums(bl)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
             return jnp.where(
                 lane == 0, loss_s, jnp.where(lane == 1, energy_s, 0.0)
             )
+
+        def emit_scal_slot(slot, bl):
+            """Per-step scalar mode (scalar_stride > 0): accumulate slot's
+            (loss, energy) pair into its lane pair of row slot//64 — a
+            dynamic-sublane read-modify-write of one [1, 128] row, so the
+            hot loop carries no O(n_scal) accumulator."""
+            loss_s, energy_s = scal_sums(bl)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            r2 = 2 * (slot % 64)
+            row = jnp.where(
+                lane == r2, loss_s, jnp.where(lane == r2 + 1, energy_s, 0.0)
+            )
+            idx = slot // 64
+            scal[pl.ds(idx, 1), :] = scal[pl.ds(idx, 1), :] + row
 
         def accum_pgrads(bl):
             """Hebbian parameter grads: gW_l = -H_{l-1}ᵀ err_l (output layer:
@@ -693,11 +732,22 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         def _():
                             accum_pgrads(bl)
                     if emit_scalars and T == 0:
-                        # pure-PC chain: the last pre-update scalars come
-                        # from the warm phase's final step
-                        @pl.when(t == warm_T - 1)
-                        def _():
-                            scal[...] += scal_row(bl)
+                        if scalar_stride > 0:
+                            # pure-PC chain, per-step scalars: slot per
+                            # emitted warm step + the final-step slot
+                            @pl.when(t % scalar_stride == 0)
+                            def _():
+                                emit_scal_slot(t // scalar_stride, bl)
+
+                            @pl.when(t == warm_T - 1)
+                            def _():
+                                emit_scal_slot(jnp.int32(n_scal - 1), bl)
+                        else:
+                            # the last pre-update scalars come from the warm
+                            # phase's final step
+                            @pl.when(t == warm_T - 1)
+                            def _():
+                                scal[...] += scal_row(bl)
                     c1 = 1.0 - b1p
                     c2 = 1.0 - b2p
                     m, v = adam_update(m_ref, v_ref, G)
@@ -760,9 +810,18 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 G, bl = eval_grads(X)
 
                 if emit_scalars:
-                    @pl.when(t == T - 1)
-                    def _():
-                        scal[...] += scal_row(bl)
+                    if scalar_stride > 0:
+                        @pl.when(t % scalar_stride == 0)
+                        def _():
+                            emit_scal_slot(t // scalar_stride, bl)
+
+                        @pl.when(t == T - 1)
+                        def _():
+                            emit_scal_slot(jnp.int32(n_scal - 1), bl)
+                    else:
+                        @pl.when(t == T - 1)
+                        def _():
+                            scal[...] += scal_row(bl)
 
                 if with_pgrads:
                     @pl.when(t >= mixing)
@@ -956,7 +1015,7 @@ def _pad_cols(a, width):
         "warm_T", "warm_lr", "warm_b1", "warm_b2", "warm_eps",
         "capture_stride", "activation", "warm_pgrads", "return_scalars",
         "batch_tile", "emit_warm_opt_state", "output_var", "mask_perc",
-        "matmul_layout",
+        "matmul_layout", "scalar_stride",
     ),
 )
 def mcpc_chain_pallas(
@@ -989,6 +1048,7 @@ def mcpc_chain_pallas(
     output_var: tp.Optional[float] = None,
     mask_perc: tp.Optional[float] = None,
     matmul_layout: str = "auto",
+    scalar_stride: int = 0,
 ):
     """Run (optionally) warm_T Adam MAP steps then T fused MCPC steps.
 
@@ -1003,7 +1063,12 @@ def mcpc_chain_pallas(
     rows 0..R-2 are the captured steps' PRE-update values, row R-1 is the
     final step's pre-update value — the engine/reference convention,
     pc_trainer.py:777-795; the capture rows are recomputed in f32 from the
-    trajectory outside the kernel), and the packed final Adam moments when
+    trajectory outside the kernel).  With ``scalar_stride > 0`` (mutually
+    exclusive with ``capture_stride``; requires ``return_scalars``) the
+    kernel emits the per-step scalar rows ITSELF — slot r = step
+    t // scalar_stride plus a final-step slot, lane-packed 64 pairs per
+    VMEM row — so per-step loss/energy curves need no HBM trajectory at
+    any T.  Also returns the packed final Adam moments when
     ``emit_warm_opt_state`` (``(m, v)``, or ``(m, v, m3, v3)`` with
     ``output_var`` — for handing optimizer-x state back to the engine on
     continuation calls).
@@ -1056,6 +1121,19 @@ def mcpc_chain_pallas(
         raise ValueError("packed=False supports relu only")
     if capture_stride > 0 and T == 0 and warm_T == 0:
         raise ValueError("capture_stride requires steps (T > 0 or warm_T > 0)")
+    if scalar_stride > 0:
+        if not packed or not return_scalars:
+            raise ValueError(
+                "scalar_stride requires packed=True and return_scalars"
+            )
+        if capture_stride > 0:
+            raise ValueError(
+                "scalar_stride and capture_stride are mutually exclusive: "
+                "capture runs get per-step scalars recomputed from the "
+                "trajectory"
+            )
+        if T == 0 and warm_T == 0:
+            raise ValueError("scalar_stride requires steps (T or warm_T)")
     if loss.endswith("_mask"):
         if mask_perc is None:
             raise ValueError("masked losses require mask_perc")
@@ -1124,6 +1202,7 @@ def mcpc_chain_pallas(
             inv_var3=(1.0 / output_var) if output_pc else 1.0,
             mask_k=mask_k,
             layout=matmul_layout,
+            scalar_stride=scalar_stride,
         )
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         row_block = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0))
@@ -1145,8 +1224,12 @@ def mcpc_chain_pallas(
                 jax.ShapeDtypeStruct((p0,), jnp.float32),
             ]
             out_specs += [vmem] * 3
+        n_scal, n_scal_rows = _scalar_slots(T, warm_T, scalar_stride)
         if return_scalars:
-            out_shapes.append(jax.ShapeDtypeStruct((1, 128), jnp.float32))
+            out_shapes.append(jax.ShapeDtypeStruct(
+                (n_scal_rows, 128) if scalar_stride > 0 else (1, 128),
+                jnp.float32,
+            ))
             out_specs.append(vmem)
         scratch = []
         if capture_stride > 0:
@@ -1219,11 +1302,19 @@ def mcpc_chain_pallas(
                 {"w": gw_full[O2 : O2 + d2, Q3 : Q3 + D],
                  "b": gb_cat[Q3 : Q3 + D]},
             )
-        final_row = None
+        final_row = scalar_rows = None
         if return_scalars:
             scal = outs[k]
             k += 1
-            final_row = {"loss": scal[:, 0], "energy": scal[:, 1]}
+            if scalar_stride > 0:
+                # unpack the lane-packed slots: slot r lives at row r//64,
+                # lanes (2*(r%64), 2*(r%64)+1)
+                flat = scal.reshape(-1)
+                r = jnp.arange(n_scal)
+                pos = (r // 64) * 128 + 2 * (r % 64)
+                scalar_rows = {"loss": flat[pos], "energy": flat[pos + 1]}
+            else:
+                final_row = {"loss": scal[:, 0], "energy": scal[:, 1]}
         traj = traj3 = None
         if capture_stride > 0:
             traj = outs[k]
@@ -1233,7 +1324,9 @@ def mcpc_chain_pallas(
                 k += 1
         scalars = None
         if return_scalars:
-            if traj is not None:
+            if scalar_rows is not None:
+                scalars = scalar_rows
+            elif traj is not None:
                 # per-captured-step pre-update scalars, recomputed in f32
                 # from the trajectory — same math as the engine's per-step
                 # loss/energy (one batched forward over all captures; keeps

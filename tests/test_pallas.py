@@ -1241,29 +1241,37 @@ def test_trainer_every_t_scalars_only_matches_engine(setup):
                 )
 
 
-def test_every_t_scalars_budget_fallback(setup):
-    """An every_t run whose internal scalar trajectory would exceed the HBM
-    budget must fall back to the engine rather than spill."""
+def test_every_t_scalars_long_chain_eligible(setup):
+    """Per-step scalars are emitted in-kernel (no HBM trajectory), so even
+    a T=30000 every_t chain is kernel-eligible — and the dispatch carries a
+    scalar_stride, not a capture."""
+    from montecarlopredictivecoding_tpu.core.engine import EngineConfig
+    from montecarlopredictivecoding_tpu.core.losses import bernoulli_fn
+    from montecarlopredictivecoding_tpu.core.schedule import build_plan
+
     model = setup[0]
-    B = 8
-    key = jax.random.PRNGKey(0)
-    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
     gen = mcpc.GenerativeModel(model, key=23)
     tr = mcpc.PCTrainer(
-        gen, T=10, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.02},
+        gen, T=30000, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.02},
         update_p_at="never", optimizer_p_fn=None,
     )
     tr.use_pallas = True
-    tr.use_pallas_scalar_traj_budget = 64  # bytes: nothing fits
-    took = []
-    orig = tr._run_pallas
-    tr._run_pallas = lambda *a, **k: (took.append(1), orig(*a, **k))[1]
-    res = tr.train_on_batch(
-        jnp.zeros((B, 4)), loss_fn=mcpc.bernoulli_fn,
-        loss_fn_kwargs={"_target": target}, key=jax.random.PRNGKey(6),
+    cfg = EngineConfig(
+        plan=build_plan(30000, "all", "never"),
+        optimizer_x=tr.opt_x_spec, optimizer_p=None,
+        langevin_var=2.0, loss_fn=bernoulli_fn, capture_every_t=True,
     )
-    assert not took, "budget-exceeding every_t run should use the engine"
-    assert res["loss"].shape[0] == 10
+    d = tr._pallas_eligible(cfg, bernoulli_fn, False, 2.0, 4096)
+    assert d is not None and d.get("scalar_stride") == 1
+    assert "capture_stride" not in d
+
+    # the slot math: 64 lane pairs per row, final-step slot included
+    from montecarlopredictivecoding_tpu.ops.pallas_mcpc import _scalar_slots
+
+    assert _scalar_slots(30000, 0, 1) == (30001, 469)
+    assert _scalar_slots(10, 0, 3) == (5, 1)
+    assert _scalar_slots(0, 12, 1) == (13, 1)
+    assert _scalar_slots(10, 0, 0) == (0, 0)
 
 
 def test_traj_scalar_rows_chunked_matches_block(monkeypatch):
