@@ -60,6 +60,11 @@ def make_variant(name):
             return x * 0.1 + jnp.log(jnp.abs(x) + 1.0)
         if name == "sqrt":
             return x * 0.1 + jnp.sqrt(jnp.abs(x) + 1.0)
+        if name == "rsqrt":
+            return x * 0.1 + jax.lax.rsqrt(jnp.abs(x) + 1.0)
+        if name == "sqrt_via_rsqrt":
+            v = jnp.abs(x) + 1.0
+            return x * 0.1 + v * jax.lax.rsqrt(v)
         if name == "sin":
             return x * 0.1 + jnp.sin(x)
         if name == "cos":
@@ -126,7 +131,8 @@ def main():
     for B in batches:
         print(f"== B={B} [B,{COLS}] f32, marginal us/step (T={T_LO} vs {T_HI}) ==")
         base = None
-        for name in ("baseline", "prng", "log", "sqrt", "sin", "cos", "exp",
+        for name in ("baseline", "prng", "log", "sqrt", "rsqrt",
+                     "sqrt_via_rsqrt", "sin", "cos", "exp",
                      "sigmoid", "tanh", "sigmoid_tanh", "bm_hw", "bm_poly"):
             try:
                 run_variant(name, B, T_LO, 0), run_variant(name, B, T_HI, 1)
