@@ -1309,3 +1309,52 @@ def test_traj_scalar_rows_chunked_matches_block(monkeypatch):
                                     "none", 1.0, traj3=traj3, inv_var3=2.0)
     for a, b in zip(chunked3, ref3):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_every_t_scalars_output_pc_and_masked(setup, output_pc_setup):
+    """In-kernel per-step scalars must also match the engine for the two
+    remaining loss families: the trailing-PC joint sampler (loss='none',
+    energy includes the output site) and a masked sensory loss."""
+    B = 8
+    key = jax.random.PRNGKey(0)
+
+    def run(mode, model, mkey, loss_fn, kwargs):
+        gen = mcpc.GenerativeModel(model, key=mkey)
+        tr = mcpc.PCTrainer(
+            gen, T=9, optimizer_x_fn="sgd", optimizer_x_kwargs={"lr": 0.02},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        tr.use_pallas = mode == "pallas"
+        took = []
+        orig = tr._run_pallas
+        tr._run_pallas = lambda *a, **k: (took.append(1), orig(*a, **k))[1]
+        res = tr.train_on_batch(
+            jnp.zeros((B, 4)), loss_fn=loss_fn, loss_fn_kwargs=kwargs,
+            callback_after_t=mcpc.LangevinStep(var=None),
+            is_sample_x_at_batch_start=False,
+            key=jax.random.PRNGKey(6),
+        )
+        if mode == "pallas":
+            assert took, "every_t scalars config fell back to engine"
+        return res
+
+    # masked bernoulli on the plain MLP
+    model = setup[0]
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    for k in ("loss", "energy"):
+        np.testing.assert_allclose(
+            np.asarray(run("pallas", model, 31, mcpc.bernoulli_fn_mask,
+                           {"_target": target, "perc": 0.5})[k]),
+            np.asarray(run("engine", model, 31, mcpc.bernoulli_fn_mask,
+                           {"_target": target, "perc": 0.5})[k]),
+            rtol=2e-4, err_msg=f"masked {k}",
+        )
+
+    # output-PC joint sampler (unclamped, energy includes the output site)
+    model_pc = output_pc_setup[0]
+    for k in ("loss", "energy"):
+        np.testing.assert_allclose(
+            np.asarray(run("pallas", model_pc, 33, None, None)[k]),
+            np.asarray(run("engine", model_pc, 33, None, None)[k]),
+            rtol=2e-4, atol=1e-6, err_msg=f"output-pc {k}",
+        )
