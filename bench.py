@@ -19,14 +19,31 @@ The extended report — fused TRAIN-step throughput (Adam warm start + chain +
 Monte-Carlo parameter grads in one dispatch), the batch-scaling curve
 (f32/bf16), achieved TFLOP/s and MFU — is written to BENCH_DETAIL.md and
 echoed to stderr.
+
+Supervision: the tunneled TPU backend can hang on init for tens of minutes
+after a crashed program (it self-recovers — CLAUDE.md).  ``python bench.py``
+therefore runs a SUPERVISOR that (1) probes backend init + one tiny dispatch
+in a short-timeout subprocess, retrying with backoff while the budget
+(``MCPC_BENCH_BUDGET_S``, default 3300 s) lasts, then (2) runs the actual
+benchmark in an inner subprocess (``MCPC_BENCH_INNER=1``).  On final failure
+it still prints a parseable JSON line with an explicit ``"error"`` field and
+exits 0, so the driver's record is never an unparseable rc=1.
 """
 
 import json
+import os as _os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# the axon plugin hangs backend RESOLUTION unless the platform choice is
+# also pinned via config (env alone is not honored — CLAUDE.md gotcha), so
+# mirror any JAX_PLATFORMS override into the config
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat and _plat.strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -36,6 +53,10 @@ REFERENCE_CPU_STEPS_PER_SEC = 147.6
 
 BATCH = 256
 T = 10000  # reference posterior-inference chain length (figure_2.py:171-172)
+if _os.environ.get("MCPC_BENCH_SMOKE") == "1":
+    # test hook: a tiny chain so the supervisor's success path can be
+    # exercised end-to-end on CPU (tests/test_bench_supervisor.py)
+    T = 50
 DIMS = (20, 128, 128, 784)
 XW = DIMS[0] + DIMS[1] + DIMS[2]          # packed latent width
 OW = DIMS[1] + DIMS[2] + DIMS[3]          # packed output width
@@ -328,7 +349,12 @@ def main():
         _log("over the batch dimension.", detail)
 
     try:
-        with open("BENCH_DETAIL.md", "w") as f:
+        out_path = (
+            "/tmp/BENCH_DETAIL_smoke.md"
+            if _os.environ.get("MCPC_BENCH_SMOKE") == "1"
+            else "BENCH_DETAIL.md"
+        )
+        with open(out_path, "w") as f:
             f.write("\n".join(detail) + "\n")
     except OSError:
         pass
@@ -345,5 +371,136 @@ def main():
     )
 
 
+def _failure_json(reason: str) -> str:
+    """A still-parseable headline line recording WHY no number was measured
+    (VERDICT r3 missing #1: an rc=1 with no JSON made round 3's perf work
+    officially invisible)."""
+    return json.dumps(
+        {
+            "metric": "Langevin inference steps/sec/chip (MNIST MLP, batch 256, T=10000 chain)",
+            "value": 0.0,
+            "unit": "steps/sec",
+            "vs_baseline": 0.0,
+            "error": reason,
+        }
+    )
+
+
+def _probe_backend(timeout_s: float) -> bool:
+    """Backend init + one tiny dispatch + readback in a short-timeout
+    subprocess.  A wedged tunneled chip hangs `jax.devices()` indefinitely;
+    probing in a killable child keeps the supervisor responsive."""
+    import os
+    import subprocess
+
+    code = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS', '').strip().lower()\n"
+        "if p == 'cpu':\n"
+        "    jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp\n"
+        "v = float(jnp.ones(()) + 1.0)\n"
+        "assert v == 2.0, v\n"
+        "print('probe-ok', jax.default_backend())\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and "probe-ok" in proc.stdout
+
+
+def _supervise() -> None:
+    """Retry-with-backoff wrapper: probe until the backend answers (the
+    wedge self-recovers in tens of minutes), then run the benchmark in an
+    inner subprocess.  Always prints exactly one JSON line and exits 0."""
+    import os
+    import subprocess
+
+    budget = float(os.environ.get("MCPC_BENCH_BUDGET_S", "3300"))
+    deadline = time.monotonic() + budget
+    env = dict(os.environ)
+    env["MCPC_BENCH_INNER"] = "1"
+
+    probe_timeout, backoff = 150.0, 60.0
+    probed_ok = False
+    while time.monotonic() < deadline:
+        remaining = deadline - time.monotonic()
+        if not probed_ok:
+            print(
+                f"[bench supervisor] probing backend "
+                f"(timeout {probe_timeout:.0f}s, budget {remaining:.0f}s)",
+                file=sys.stderr,
+            )
+            if not _probe_backend(min(probe_timeout, max(remaining, 30.0))):
+                sleep_s = min(backoff, max(deadline - time.monotonic(), 0.0))
+                if sleep_s <= 0:
+                    break
+                print(
+                    f"[bench supervisor] backend unreachable; retrying in "
+                    f"{sleep_s:.0f}s",
+                    file=sys.stderr,
+                )
+                time.sleep(sleep_s)
+                backoff = min(backoff * 1.6, 300.0)
+                continue
+            probed_ok = True
+        remaining = deadline - time.monotonic()
+        if remaining < 120:
+            break
+        print(
+            f"[bench supervisor] backend up; running benchmark "
+            f"(timeout {remaining:.0f}s)",
+            file=sys.stderr,
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=remaining,
+            )
+        except subprocess.TimeoutExpired as e:
+            # killing a mid-dispatch TPU program can wedge the chip for a
+            # long time — do NOT retry after a timeout kill; report.
+            sys.stderr.write((e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or ""))
+            print(_failure_json("benchmark timed out under supervisor budget"))
+            return
+        sys.stderr.write(proc.stderr)
+        line = next(
+            (
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith("{") and '"metric"' in ln
+            ),
+            None,
+        )
+        if proc.returncode == 0 and line is not None:
+            print(line)
+            return
+        print(
+            f"[bench supervisor] inner run failed (rc={proc.returncode}); "
+            f"stdout tail: {proc.stdout[-500:]!r}",
+            file=sys.stderr,
+        )
+        probed_ok = False  # re-probe before any retry
+        time.sleep(min(backoff, max(deadline - time.monotonic(), 0.0)))
+        backoff = min(backoff * 1.6, 300.0)
+    print(_failure_json("backend unreachable for the whole supervisor budget"))
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("MCPC_BENCH_INNER") == "1":
+        main()
+    else:
+        _supervise()

