@@ -203,6 +203,70 @@ def main():
     assert float(s_steps["loss"][-1]) < float(s_steps["loss"][0])
     print("per-step scalars OK:", float(s_steps["loss"][-1]))
 
+    # 11) dp-fused shard noise (VERDICT r3 weak #6, hardware half): the
+    # dp-fused chain (parallel/fused_dp.py:53-55) seeds shard i with
+    # base + i*1000003; per-shard kernels are otherwise independent, so
+    # running the 8 shard programs serially on one chip IS the dp noise
+    # distribution.  Check the stationary law on EVERY shard and that all
+    # shard streams differ pairwise (flagship dims, B=1024/8 per shard).
+    B11, T11, lr11 = 128, 3000, 0.02
+    params11, _, _ = setup("relu", B=B11)
+    params11 = tuple(
+        {"w": jnp.zeros_like(p["w"]), "b": p["b"]} for p in params11
+    )
+    latents11 = model.init_latents(params11, jnp.zeros((B11, 20)), key)
+    shard_lats = []
+    for s in range(8):
+        shard_seed = jnp.int32(11 + s * 1000003)
+        lat_s, _ = mcpc_chain_pallas(
+            params11, latents11, None, shard_seed, T=T11, lr=lr11,
+            noise_var=2.0, loss="none",
+        )
+        shard_lats.append(lat_s)
+    exp_var = 1.0 / (1.0 - lr11 / 2.0)
+    for s, lat_s in enumerate(shard_lats):
+        for i, x in enumerate(lat_s):
+            b = np.asarray(params11[i]["b"])
+            d = np.asarray(x) - b[None, :]
+            m, v = float(d.mean()), float(d.var())
+            assert abs(m) < 0.1, (s, i, m)
+            assert abs(v - exp_var) < 0.1 * exp_var, (s, i, v, exp_var)
+    for s in range(7):
+        assert not np.allclose(
+            np.asarray(shard_lats[s][1][:4]),
+            np.asarray(shard_lats[s + 1][1][:4]),
+        ), s
+    print(f"dp shard noise law OK: 8 shards, var target {exp_var:.4f}")
+
+    # 12) warm continuation on hardware: two T=20 continuation dispatches
+    # (live Adam moments in) must match one T=40 fresh dispatch
+    params12, latents12, target12 = setup("relu", B=256)
+    lat_a, _, _, mv = mcpc_chain_pallas(
+        params12, latents12, target12, jnp.int32(13), T=0, lr=0.05,
+        noise_var=None, loss="bernoulli", warm_T=20, warm_lr=0.05,
+        return_scalars=True, emit_warm_opt_state=True,
+    )
+    from montecarlopredictivecoding_tpu.ops.pallas_mcpc import aligned_layout
+
+    lat_dims = [x.shape[1] for x in latents12]
+    _pads, offs, _XW = aligned_layout(lat_dims)
+    mu_t = tuple(mv[0][:, o : o + d] for o, d in zip(offs, lat_dims))
+    nu_t = tuple(mv[1][:, o : o + d] for o, d in zip(offs, lat_dims))
+    lat_b, _, _, _ = mcpc_chain_pallas(
+        params12, lat_a, target12, jnp.int32(13), T=0, lr=0.05,
+        noise_var=None, loss="bernoulli", warm_T=20, warm_lr=0.05,
+        return_scalars=True, emit_warm_opt_state=True,
+        warm_mu=mu_t, warm_nu=nu_t, warm_count=jnp.int32(20),
+    )
+    lat_full, _, _, _ = mcpc_chain_pallas(
+        params12, latents12, target12, jnp.int32(13), T=0, lr=0.05,
+        noise_var=None, loss="bernoulli", warm_T=40, warm_lr=0.05,
+        return_scalars=True, emit_warm_opt_state=True,
+    )
+    for a, b in zip(lat_b, lat_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    print("warm continuation OK (2x20 == 1x40 on hardware)")
+
     print("KERNEL_SANITY_PASS")
 
 

@@ -10,7 +10,7 @@ checks numerical equality against the same step on a single device
 (per-shard whole-chain kernel + psum of the Monte-Carlo grads) against the
 single-shard kernel.
 
-Writes MULTICHIP_r03.json.
+Writes MULTICHIP_r04.json (the builder-run record; the driver captures its own via __graft_entry__.dryrun_multichip).
 
 Run: python benchmarks/multichip_flagship.py     (self-provisions an
 8-virtual-device CPU platform, same recipe as tests/conftest.py)
@@ -165,6 +165,91 @@ def _body():
     assert kernel_diff < 2e-4, kernel_diff
     assert kernel_pg_diff < 2e-2, kernel_pg_diff  # grads are B*T-scale sums
 
+    # -- noise-ON legs (VERDICT r3 weak #6) --------------------------------
+    # (a) noisy sharded engine == noisy single-device engine, f64: the
+    # engine's Langevin noise is a GLOBAL jax.random draw (engine.py:268-285),
+    # elementwise-deterministic under partitionable threefry, so the mesh
+    # program must reproduce the single-device chain exactly — collectives,
+    # noise streams and all.
+    import dataclasses as _dc
+
+    noisy_cfg = _dc.replace(cfg, langevin_var=2.0)
+    fn1n = jax.jit(build_train_on_batch(model, noisy_cfg))
+    st = fresh_state()
+    st = st._replace(
+        opt_x_state=noisy_cfg.optimizer_x.make().init({"latents": latents}),
+        opt_p_state=noisy_cfg.optimizer_p.make().init(params),
+    )
+    ref_n_state, _ = fn1n(st, inputs, {"_target": target})
+    jax.block_until_ready(ref_n_state.params)
+    fnn, nstate, ninputs, nkwargs = shard_train_on_batch(
+        model, noisy_cfg, mesh, fresh_state(), inputs, {"_target": target}
+    )
+    new_n_state, _ = fnn(nstate, ninputs, nkwargs)
+    jax.block_until_ready(new_n_state.params)
+    noisy_diff = max(
+        [
+            float(np.abs(np.asarray(a["w"]) - np.asarray(b["w"])).max())
+            for a, b in zip(new_n_state.params, ref_n_state.params)
+        ]
+        + [
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(new_n_state.latents, ref_n_state.latents)
+        ]
+    )
+    assert noisy_diff < 1e-7, f"noisy sharded != single (max {noisy_diff})"
+
+    # (b) stationary noise law PER SHARD over the dp mesh (the kernel_sanity
+    # closed form): zero weights make each site's energy 0.5*(x-b)^2, so a
+    # long unadjusted Langevin chain is stationary at N(b, 1/(1-lr/2)).
+    # Check the law on every 'data'-shard row block independently AND that
+    # the shard blocks carry different noise streams.
+    from montecarlopredictivecoding_tpu.core.losses import zero_fn
+
+    lr_law, T_law = 0.02, 3000
+    law_cfg = _dc.replace(
+        cfg,
+        plan=build_plan(T_law, update_x_at="all", update_p_at="never"),
+        optimizer_x=OptimizerSpec("sgd", lr=lr_law),
+        optimizer_p=None,
+        langevin_var=2.0,
+        loss_fn=zero_fn,
+    )
+    # f64 end-to-end: with jax_enable_x64 on, mixed f32 state promotes
+    # inside the scan carry and fails the carry-type check
+    zero_params = tuple(
+        {"w": jnp.zeros_like(p["w"]), "b": p["b"]} for p in params
+    )
+    dp_mesh_law = make_mesh(jax.devices()[:N_DEVICES], data=N_DEVICES, model=1)
+    law_state = EngineState(
+        params=zero_params, latents=latents, opt_x_state=None,
+        opt_p_state=None, lr_scale=jnp.ones(()), key=jax.random.PRNGKey(5),
+    )
+    fnl, lstate, linputs, lkwargs = shard_train_on_batch(
+        model, law_cfg, dp_mesh_law, law_state, inputs,
+        {"_target": target},
+    )
+    law_out, _ = fnl(lstate, linputs, lkwargs)
+    jax.block_until_ready(law_out.latents)
+    exp_var = 1.0 / (1.0 - lr_law / 2.0)
+    shard_B = BATCH // N_DEVICES
+    worst_m, worst_v = 0.0, 0.0
+    for i, x in enumerate(law_out.latents):
+        b = np.asarray(zero_params[i]["b"])
+        d = np.asarray(x) - b[None, :]
+        blocks = [
+            d[s * shard_B : (s + 1) * shard_B] for s in range(N_DEVICES)
+        ]
+        for s, blk in enumerate(blocks):
+            m, v = float(blk.mean()), float(blk.var())
+            worst_m = max(worst_m, abs(m))
+            worst_v = max(worst_v, abs(v - exp_var) / exp_var)
+            assert abs(m) < 0.1, (i, s, m)
+            assert abs(v - exp_var) < 0.1 * exp_var, (i, s, v, exp_var)
+        # different shard row blocks must hold different noise streams
+        for s in range(N_DEVICES - 1):
+            assert not np.allclose(blocks[s][:4], blocks[s + 1][:4]), (i, s)
+
     out = {
         "ok": True,
         "dims": list(DIMS),
@@ -175,6 +260,10 @@ def _body():
         "engine_max_abs_diff_vs_single": max_diff,
         "dp_kernel_max_abs_diff_vs_single": kernel_diff,
         "dp_kernel_pgrad_max_abs_diff": kernel_pg_diff,
+        "noisy_engine_max_abs_diff_vs_single": noisy_diff,
+        "noise_law_worst_mean_abs": round(worst_m, 4),
+        "noise_law_worst_var_rel": round(worst_v, 4),
+        "noise_law_expected_var": round(exp_var, 4),
         "t_single_s": round(t_single, 2),
         "t_mesh_s": round(t_mesh, 2),
         "platform": jax.default_backend(),
@@ -215,9 +304,9 @@ def main():
         sys.stderr.write(proc.stderr)
         raise RuntimeError(f"flagship multichip gate failed rc={proc.returncode}")
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    with open(os.path.join(REPO, "MULTICHIP_r03.json"), "w") as f:
+    with open(os.path.join(REPO, "MULTICHIP_r04.json"), "w") as f:
         f.write(line + "\n")
-    print("wrote MULTICHIP_r03.json")
+    print("wrote MULTICHIP_r04.json")
 
 
 if __name__ == "__main__":

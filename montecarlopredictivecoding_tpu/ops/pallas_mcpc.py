@@ -386,7 +386,8 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         mask_k: int = 0,
                         layout: str = "blockdiag",
                         scalar_stride: int = 0,
-                        warm_init: bool = False):
+                        warm_init: bool = False,
+                        noise_prefetch: bool = False):
     """Aligned-packed chain kernel; see the module docstring for layout and
     matmul-strategy notes."""
     d0, d1, d2, D = dims
@@ -881,17 +882,51 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         z3a = z3b = None
                     return za, zb, z3a, z3b
 
-                def pair(i, _):
-                    za, zb, z3a, z3b = gen_pair()
-                    t = 2 * i
-                    step(t, za, z3a)
-                    step(t + 1, zb, z3b)
-                    return ()
+                if noise_prefetch:
+                    # software-pipelined variant: the NEXT pair's Box-Muller
+                    # (pure VPU, independent of the chain state) is issued
+                    # before this pair's steps, giving the scheduler license
+                    # to overlap it with the steps' MXU matmuls.  The PRNG
+                    # call sequence is identical to the non-prefetch loop, so
+                    # the two variants are draw-for-draw equal.
+                    def pair_pf(i, z):
+                        z_next = gen_pair()
+                        t = 2 * i
+                        step(t, z[0], z[2])
+                        step(t + 1, z[1], z[3])
+                        return z_next
 
-                jax.lax.fori_loop(0, T // 2, pair, ())
-                if T % 2:
-                    za, _zb, z3a, _z3b = gen_pair()
-                    step(jnp.int32(T - 1), za, z3a)
+                    z0 = gen_pair()
+                    if output_pc:
+                        zf = jax.lax.fori_loop(0, T // 2, pair_pf, z0)
+                    else:
+                        # fori_loop carries can't hold None: drop the z3 slots
+                        def pair_pf2(i, z):
+                            za, zb = z
+                            z_next = gen_pair()
+                            t = 2 * i
+                            step(t, za, None)
+                            step(t + 1, zb, None)
+                            return (z_next[0], z_next[1])
+
+                        zf2 = jax.lax.fori_loop(
+                            0, T // 2, pair_pf2, (z0[0], z0[1])
+                        )
+                        zf = (zf2[0], zf2[1], None, None)
+                    if T % 2:
+                        step(jnp.int32(T - 1), zf[0], zf[2])
+                else:
+                    def pair(i, _):
+                        za, zb, z3a, z3b = gen_pair()
+                        t = 2 * i
+                        step(t, za, z3a)
+                        step(t + 1, zb, z3b)
+                        return ()
+
+                    jax.lax.fori_loop(0, T // 2, pair, ())
+                    if T % 2:
+                        za, _zb, z3a, _z3b = gen_pair()
+                        step(jnp.int32(T - 1), za, z3a)
             else:
                 jax.lax.fori_loop(
                     0, T, lambda t, _: (step(t, None, None), ())[1], ()
@@ -1041,7 +1076,7 @@ def _pad_cols(a, width):
         "warm_T", "warm_lr", "warm_b1", "warm_b2", "warm_eps",
         "capture_stride", "activation", "warm_pgrads", "return_scalars",
         "batch_tile", "emit_warm_opt_state", "output_var", "mask_perc",
-        "matmul_layout", "scalar_stride",
+        "matmul_layout", "scalar_stride", "noise_prefetch",
     ),
 )
 def mcpc_chain_pallas(
@@ -1078,6 +1113,7 @@ def mcpc_chain_pallas(
     warm_mu: tp.Optional[tuple] = None,
     warm_nu: tp.Optional[tuple] = None,
     warm_count: tp.Optional[jax.Array] = None,
+    noise_prefetch: bool = False,
 ):
     """Run (optionally) warm_T Adam MAP steps then T fused MCPC steps.
 
@@ -1246,6 +1282,7 @@ def mcpc_chain_pallas(
             layout=matmul_layout,
             scalar_stride=scalar_stride,
             warm_init=warm_init,
+            noise_prefetch=noise_prefetch,
         )
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         row_block = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0))
