@@ -76,8 +76,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="256,1024,4096")
     ap.add_argument("--reps", type=int, default=5)
+    # f32-only by default: each (batch, feature, T) cell is a separate cold
+    # Mosaic compile through the tunnel (minutes each); bf16 doubles the
+    # count and the chain is VPU-bound anyway (BENCH_DETAIL r3)
+    ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
+    precisions = (False, True) if args.bf16 else (False,)
 
     assert jax.default_backend() == "tpu", jax.default_backend()
     key = jax.random.PRNGKey(0)
@@ -103,8 +108,9 @@ def main():
         target = (jax.random.uniform(key, (B, DIMS[-1])) > 0.5).astype(
             jnp.float32
         )
-        for bf16 in (False, True):
+        for bf16 in precisions:
             try:
+                print(f"measuring B={B} {'bf16' if bf16 else 'f32'}...", flush=True)
                 full = marginal_us(params, latents, target, noise=True,
                                    loss="bernoulli", bf16=bf16)
                 no_noise = marginal_us(params, latents, target, noise=False,
