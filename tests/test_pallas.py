@@ -1113,6 +1113,74 @@ def test_dynamic_lr_invalidates_host_mirror(setup):
     assert tr._lr_scale_host == pytest.approx(1.0)
 
 
+def test_output_pc_warm_continuation_matches_engine(output_pc_setup):
+    """Warm continuation on the trailing-PC topology: the 4th latent site's
+    Adam moments (m3/v3) must round-trip through the kernel across two
+    no-resample calls."""
+    model = output_pc_setup[0]
+    B = 8
+    inputs = jnp.zeros((B, 4))
+    outs = {}
+    for mode in ("engine", "pallas"):
+        gen = mcpc.GenerativeModel(model, key=19)
+        tr = mcpc.PCTrainer(
+            gen, T=12, optimizer_x_fn="adam", optimizer_x_kwargs={"lr": 0.05},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        tr.use_pallas = mode == "pallas"
+        took = []
+        orig = tr._run_pallas
+        tr._run_pallas = lambda *a, **k: (took.append(a[0]), orig(*a, **k))[1]
+        for i in range(2):
+            tr.train_on_batch(
+                inputs, loss_fn=None,
+                is_sample_x_at_batch_start=i == 0,
+                key=jax.random.PRNGKey(21),
+                is_return_results_every_t=False,
+            )
+        if mode == "pallas":
+            assert len(took) == 2, "output-PC warm continuation fell back"
+            assert took[1]["warm_cont"]
+        outs[mode] = gen.latents
+    assert len(outs["pallas"]) == 4
+    for a, b in zip(outs["pallas"], outs["engine"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_warm_continuation_with_set_x_lr_between_calls(setup):
+    """set_x_lr between continuation calls: the second dispatch folds the
+    new lr while resuming the first call's Adam moments — matching the
+    engine (where the optimizer persists and only the lr scale changes)."""
+    model = setup[0]
+    B = 8
+    key = jax.random.PRNGKey(47)
+    target = (jax.random.uniform(key, (B, 16)) > 0.5).astype(jnp.float32)
+    inputs = jnp.zeros((B, 4))
+    outs = {}
+    for mode in ("engine", "pallas"):
+        gen = mcpc.GenerativeModel(model, key=49)
+        tr = mcpc.PCTrainer(
+            gen, T=10, optimizer_x_fn="adam", optimizer_x_kwargs={"lr": 0.05},
+            update_p_at="never", optimizer_p_fn=None,
+        )
+        tr.use_pallas = mode == "pallas"
+        tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn,
+            loss_fn_kwargs={"_target": target}, key=jax.random.PRNGKey(2),
+            is_return_results_every_t=False,
+        )
+        tr.set_x_lr(0.02)
+        tr.train_on_batch(
+            inputs, loss_fn=mcpc.bernoulli_fn,
+            loss_fn_kwargs={"_target": target},
+            is_sample_x_at_batch_start=False, key=jax.random.PRNGKey(3),
+            is_return_results_every_t=False,
+        )
+        outs[mode] = gen.latents
+    for a, b in zip(outs["pallas"], outs["engine"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 def test_output_pc_warm_capture_matches_engine(output_pc_setup):
     """The canonical figure-3 joint-sampling pattern END-TO-END on the
     kernel: Adam MAP warm start on the trailing-PC model, then a Langevin
