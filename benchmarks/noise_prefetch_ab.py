@@ -1,9 +1,11 @@
-"""A/B the software-pipelined Box-Muller (kernel noise_prefetch flag).
+"""A/B the kernel noise-path variants: software-pipelined Box-Muller
+(noise_prefetch) and rsqrt-based radius (noise_rsqrt).
 
-The prefetch variant issues the NEXT pair's Box-Muller before the current
-pair's steps — same PRNG call sequence, so final latents must match the
-default loop BITWISE; only the schedule (and hence time) may differ.  Times
-both variants as marginals between two chain lengths at each batch size.
+prefetch issues the NEXT pair's Box-Muller before the current pair's steps —
+same PRNG call sequence, so final latents must match the default loop
+BITWISE.  rsqrt computes sqrt(q) as q*rsqrt(q+1e-38) — a few-ulp identity,
+checked against the default to 1e-4 after a short chain.  Times every
+variant as a marginal between two chain lengths at each batch size.
 
 Run on the TPU: python benchmarks/noise_prefetch_ab.py
 """
@@ -25,6 +27,12 @@ import montecarlopredictivecoding_tpu as mcpc
 from montecarlopredictivecoding_tpu.ops import mcpc_chain_pallas
 
 DIMS = (20, 128, 128, 784)
+VARIANTS = (
+    ("default", dict()),
+    ("prefetch", dict(noise_prefetch=True)),
+    ("rsqrt", dict(noise_rsqrt=True)),
+    ("prefetch+rsqrt", dict(noise_prefetch=True, noise_rsqrt=True)),
+)
 
 
 def main():
@@ -33,28 +41,31 @@ def main():
     model = mcpc.make_mlp_model(*DIMS)
     params = model.init(key)
 
-    def run(B, T, prefetch, seed):
+    def run(B, T, opts, seed):
         latents = model.init_latents(params, jnp.zeros((B, DIMS[0])), key)
         target = (jax.random.uniform(key, (B, DIMS[-1])) > 0.5).astype(
             jnp.float32
         )
         out, _ = mcpc_chain_pallas(
             params, latents, target, jnp.int32(seed), T=T, lr=0.01,
-            noise_var=2.0, loss="bernoulli", packed=True,
-            noise_prefetch=prefetch,
+            noise_var=2.0, loss="bernoulli", packed=True, **opts,
         )
         return out
 
-    # bitwise equality first (T odd to cover the epilogue draw)
-    a = run(256, 31, False, 7)
-    b = run(256, 31, True, 7)
-    for x, y in zip(a, b):
+    # correctness first (T odd to cover the epilogue draw)
+    ref = run(256, 31, {}, 7)
+    pf = run(256, 31, dict(noise_prefetch=True), 7)
+    for x, y in zip(ref, pf):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     print("prefetch == default bitwise (T=31, B=256): OK", flush=True)
+    rs = run(256, 31, dict(noise_rsqrt=True), 7)
+    for x, y in zip(ref, rs):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+    print("rsqrt ~= default to 1e-4 (T=31, B=256): OK", flush=True)
 
-    def marginal(B, prefetch, T_lo=2000, T_hi=10000, reps=5):
+    def marginal(B, opts, T_lo=2000, T_hi=10000, reps=5):
         def once(T, seed):
-            out = run(B, T, prefetch, seed)
+            out = run(B, T, opts, seed)
             assert float(out[0][0, 0]) == float(out[0][0, 0])
 
         once(T_lo, 1), once(T_hi, 1)  # compile
@@ -66,12 +77,19 @@ def main():
                 ts[T].append(time.perf_counter() - t0)
         return (min(ts[T_hi]) - min(ts[T_lo])) / (T_hi - T_lo) * 1e6
 
-    print("| batch | default us/step | prefetch us/step | speedup |")
-    print("|---|---|---|---|")
+    print("| batch | " + " | ".join(n for n, _ in VARIANTS) + " |")
+    print("|---" * (len(VARIANTS) + 1) + "|")
     for B in (256, 1024, 4096):
-        d = marginal(B, False)
-        p = marginal(B, True)
-        print(f"| {B} | {d:.2f} | {p:.2f} | x{d / p:.3f} |", flush=True)
+        row = [f"| {B} "]
+        base = None
+        for name, opts in VARIANTS:
+            m = marginal(B, opts)
+            if base is None:
+                base = m
+                row.append(f"| {m:.2f} us ")
+            else:
+                row.append(f"| {m:.2f} us (x{base / m:.3f}) ")
+        print("".join(row) + "|", flush=True)
 
 
 if __name__ == "__main__":

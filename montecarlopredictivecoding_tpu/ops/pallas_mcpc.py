@@ -387,7 +387,8 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         layout: str = "blockdiag",
                         scalar_stride: int = 0,
                         warm_init: bool = False,
-                        noise_prefetch: bool = False):
+                        noise_prefetch: bool = False,
+                        noise_rsqrt: bool = False):
     """Aligned-packed chain kernel; see the module docstring for layout and
     matmul-strategy notes."""
     d0, d1, d2, D = dims
@@ -678,7 +679,19 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             the polynomial sincos (_sincos_2pi): Mosaic's sin/cos are the
             two costliest ops in the whole step."""
             u1, u2 = _uniforms(shape)
-            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            q = -2.0 * jnp.log(u1)
+            if noise_rsqrt:
+                # sqrt(q) = q * rsqrt(q): exact identity in reals, a few-ulp
+                # rounding difference in f32 (same order as the sincos
+                # polynomial's 5e-7) — candidate VPU saving when the
+                # hardware rsqrt beats sqrt (vpu_op_bench: sqrt 0.36 us/tile).
+                # u1 = 1 gives q = 0 where bare rsqrt is inf (0*inf = nan);
+                # the 1e-38 pad turns that draw into an exact 0 (the value
+                # sqrt would produce) and perturbs the smallest nonzero q
+                # (~2.4e-7) by < 1e-30 relative.
+                r = q * jax.lax.rsqrt(q + 1e-38)
+            else:
+                r = jnp.sqrt(q)
             c, s = _sincos_2pi(u2)
             return (
                 jnp.where(mask, r * c, 0.0),
@@ -1076,7 +1089,7 @@ def _pad_cols(a, width):
         "warm_T", "warm_lr", "warm_b1", "warm_b2", "warm_eps",
         "capture_stride", "activation", "warm_pgrads", "return_scalars",
         "batch_tile", "emit_warm_opt_state", "output_var", "mask_perc",
-        "matmul_layout", "scalar_stride", "noise_prefetch",
+        "matmul_layout", "scalar_stride", "noise_prefetch", "noise_rsqrt",
     ),
 )
 def mcpc_chain_pallas(
@@ -1114,6 +1127,7 @@ def mcpc_chain_pallas(
     warm_nu: tp.Optional[tuple] = None,
     warm_count: tp.Optional[jax.Array] = None,
     noise_prefetch: bool = False,
+    noise_rsqrt: bool = False,
 ):
     """Run (optionally) warm_T Adam MAP steps then T fused MCPC steps.
 
@@ -1283,6 +1297,7 @@ def mcpc_chain_pallas(
             scalar_stride=scalar_stride,
             warm_init=warm_init,
             noise_prefetch=noise_prefetch,
+            noise_rsqrt=noise_rsqrt,
         )
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         row_block = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0))
