@@ -51,7 +51,10 @@ def main():
     # k spreads per batch (mirrors bench.py: wider at small batch so the
     # marginal clears the tunnel jitter band)
     k_lo = 2
-    k_hi = {256: 66, 1024: 18, 4096: 18}
+
+    def k_hi(B):
+        # measured spreads; other batches get the wide-batch default
+        return {256: 66, 1024: 18, 4096: 18}.get(B, 18)
 
     runners = {}
     for B in batches:
@@ -60,7 +63,7 @@ def main():
                 model, params, key, B, k_lo, bf16=bf16
             )
             runners[(B, bf16, "hi")] = make_train_chunk(
-                model, params, key, B, k_hi[B], bf16=bf16
+                model, params, key, B, k_hi(B), bf16=bf16
             )
     # compile everything first
     for r in runners.values():
@@ -82,7 +85,7 @@ def main():
             for bf16 in (False, True):
                 lo = min_time(runners[(B, bf16, "lo")])
                 hi = min_time(runners[(B, bf16, "hi")])
-                dt = (hi - lo) / (k_hi[B] - k_lo)
+                dt = (hi - lo) / (k_hi(B) - k_lo)
                 cells[(B, bf16)].append(dt)
         print(f"round {rnd + 1}/{args.rounds} done", flush=True)
 

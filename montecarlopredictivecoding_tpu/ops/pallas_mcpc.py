@@ -899,9 +899,12 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                     # software-pipelined variant: the NEXT pair's Box-Muller
                     # (pure VPU, independent of the chain state) is issued
                     # before this pair's steps, giving the scheduler license
-                    # to overlap it with the steps' MXU matmuls.  The PRNG
-                    # call sequence is identical to the non-prefetch loop, so
-                    # the two variants are draw-for-draw equal.
+                    # to overlap it with the steps' MXU matmuls.  The draws
+                    # CONSUMED match the non-prefetch loop draw-for-draw
+                    # (same PRNG stream order), so results are bitwise equal;
+                    # for even T the final iteration's carry is generated and
+                    # discarded — one wasted pair per dispatch (~2/T of the
+                    # noise cost, negligible at chain lengths that matter).
                     def pair_pf(i, z):
                         z_next = gen_pair()
                         t = 2 * i

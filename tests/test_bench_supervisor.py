@@ -51,6 +51,8 @@ def test_supervisor_emits_failure_json_when_backend_unreachable():
 def test_supervisor_success_path_cpu_smoke():
     """Healthy-backend path end-to-end on CPU (engine fallback, tiny chain):
     one parseable JSON line, no error field, positive steps/sec."""
+    detail = REPO / "BENCH_DETAIL.md"
+    before = detail.read_bytes() if detail.exists() else None
     proc = _run_bench(
         {
             "JAX_PLATFORMS": "cpu",
@@ -66,4 +68,40 @@ def test_supervisor_success_path_cpu_smoke():
     assert rec["value"] > 0
     assert rec["vs_baseline"] > 0
     # the real BENCH_DETAIL.md must not be clobbered by smoke runs
-    assert "smoke" not in proc.stderr or True
+    after = detail.read_bytes() if detail.exists() else None
+    assert after == before, "smoke run modified BENCH_DETAIL.md"
+
+
+def test_supervisor_worst_case_fits_driver_kill_window():
+    """BENCH_r04.json was rc=124: the driver SIGKILLed the supervisor
+    mid-backoff (observed kill somewhere in [1606 s, 1906 s)) because the
+    3300 s default budget exceeded the kill window, so the guaranteed
+    failure-JSON never printed.  Pin the schedule: the DEFAULT budget's
+    worst-case wall-clock (all probes + backoffs + teardown + final print)
+    must stay under 1500 s."""
+    sys.path.insert(0, str(REPO))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    assert bench.worst_case_wallclock_s() < 1500.0
+    # the bound must scale with the env override, not silently cap
+    assert bench.worst_case_wallclock_s(600.0) < bench.worst_case_wallclock_s()
+
+
+def test_supervisor_reports_inner_failure_distinctly():
+    """When the backend is reachable but the inner benchmark keeps failing,
+    the failure JSON must say so — not 'backend unreachable' (advisor r4)."""
+    proc = _run_bench(
+        {
+            "JAX_PLATFORMS": "cpu",
+            "MCPC_BENCH_TEST_INNER_FAIL": "1",
+            "MCPC_BENCH_BUDGET_S": "130",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        },
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = _headline(proc.stdout)
+    assert "inner benchmark failed" in rec["error"], rec
+    assert "unreachable" not in rec["error"]
