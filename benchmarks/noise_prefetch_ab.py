@@ -2,10 +2,13 @@
 (noise_prefetch) and rsqrt-based radius (noise_rsqrt).
 
 prefetch issues the NEXT pair's Box-Muller before the current pair's steps —
-same PRNG call sequence, so final latents must match the default loop
-BITWISE.  rsqrt computes sqrt(q) as q*rsqrt(q+1e-38) — a few-ulp identity,
-checked against the default to 1e-4 after a short chain.  Times every
-variant as a marginal between two chain lengths at each batch size.
+it CONSUMES the same PRNG draw sequence, so final latents match the default
+loop up to compiler fp-reassociation (bitwise if Mosaic schedules the carry
+identically; <=1e-6-scale otherwise — CPU-interpret parity in
+tests/test_pallas_noise.py measured <=1e-6 after 20 steps).  rsqrt computes
+sqrt(q) as q*rsqrt(q+1e-38) — a few-ulp identity, checked against the
+default to 1e-4 after a short chain.  Times every variant as a marginal
+between two chain lengths at each batch size.
 
 Run on the TPU: python benchmarks/noise_prefetch_ab.py
 """
@@ -55,9 +58,16 @@ def main():
     # correctness first (T odd to cover the epilogue draw)
     ref = run(256, 31, {}, 7)
     pf = run(256, 31, dict(noise_prefetch=True), 7)
+    worst = 0.0
     for x, y in zip(ref, pf):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-    print("prefetch == default bitwise (T=31, B=256): OK", flush=True)
+        worst = max(worst, float(np.abs(np.asarray(x) - np.asarray(y)).max()))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+    print(
+        "prefetch == default (T=31, B=256): "
+        + ("BITWISE" if worst == 0.0 else f"max |diff| {worst:.2e} (<=1e-5)")
+        + " OK",
+        flush=True,
+    )
     rs = run(256, 31, dict(noise_rsqrt=True), 7)
     for x, y in zip(ref, rs):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)

@@ -273,7 +273,43 @@ def _traj_scalar_block(traj, params_flat, target, dims, activation, loss,
     return jnp.sum(elem, axis=(1, 2)), energy
 
 
-def _uniforms(shape):
+def _fmix32(x):
+    """murmur3 finalizer (full avalanche) on uint32 arrays."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _mock_bits(shape, seed, draw):
+    """Deterministic uint32 grid for INTERPRET-mode noise.
+
+    The TPU on-core PRNG (``pltpu.prng_seed``/``prng_random_bits``) has no
+    CPU lowering, so ``interpret=True`` kernels substitute this stateless
+    counter generator: draw number ``draw`` of the stream keyed ``seed`` is
+    a pure function of (seed, draw, element index) — two murmur3-finalizer
+    rounds over a Weyl-style combination.  It is NOT the hardware stream,
+    but it is deterministic, well-mixed (passes the stationary Langevin
+    noise-law check at the tolerances of tests/test_pallas_noise.py), and
+    — crucially — draw-indexed: two kernel schedulings that CONSUME the
+    same (seed, draw) sequence produce bitwise-identical noise, which is
+    what the CPU parity tests for ``noise_prefetch``/``noise_rsqrt`` need.
+    """
+    rows, cols = shape
+    idx = (
+        jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(cols)
+        + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    )
+    h = (
+        jnp.asarray(seed).astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        + jnp.asarray(draw).astype(jnp.uint32) * jnp.uint32(0x6C62272E)
+    )
+    return _fmix32(_fmix32(h + idx) ^ jnp.uint32(0xA511E9B3))
+
+
+def _uniforms(shape, mock=None):
     """(u1, u2) uniform pairs from on-core random bits via exponent-bitcast:
     (bits>>9)|0x3F800000 reinterpreted as float32 lies in [1, 2), so
     u1 = 2 - f ∈ (0, 1] (safe for log) and u2 = f - 1 ∈ [0, 1).
@@ -286,7 +322,22 @@ def _uniforms(shape):
     and lane-parallel, and the truncation is far below the noise-law gate's
     statistical resolution (benchmarks/kernel_sanity.py) and any effect
     observable in MCPC's Langevin chains (noise is multiplied by
-    sqrt(lr*var) ~ 0.14)."""
+    sqrt(lr*var) ~ 0.14).
+
+    ``mock=(seed, draw)`` (interpret mode only): bits come from
+    :func:`_mock_bits` draws ``draw`` and ``draw + 1`` instead of the
+    on-core PRNG, through the same exponent-bitcast construction."""
+    if mock is not None:
+        seed, draw = mock
+        f1 = jax.lax.bitcast_convert_type(
+            (_mock_bits(shape, seed, draw) >> 9) | jnp.uint32(0x3F800000),
+            jnp.float32,
+        )
+        f2 = jax.lax.bitcast_convert_type(
+            (_mock_bits(shape, seed, draw + 1) >> 9) | jnp.uint32(0x3F800000),
+            jnp.float32,
+        )
+        return 2.0 - f1, f2 - 1.0
     f1 = pltpu.bitcast(
         (pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 9)
         | jnp.uint32(0x3F800000),
@@ -345,14 +396,15 @@ def _sincos_2pi(u):
     )
 
 
-def _normals(shape):
+def _normals(shape, mock=None):
     """Standard normals via Box-Muller, using both the cos and sin branches
     so each (log, sqrt) pair yields two normals.  (Used by the unpacked
     baseline kernel; the packed kernel amortizes the pair across two steps.)
+    Consumes 2 draws; ``mock`` as in :func:`_uniforms`.
     """
     rows, cols = shape
     half = (cols + 1) // 2
-    u1, u2 = _uniforms((rows, half))
+    u1, u2 = _uniforms((rows, half), mock)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     c, s = _sincos_2pi(u2)
     z = jnp.concatenate([r * c, r * s], axis=1)
@@ -388,9 +440,12 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         scalar_stride: int = 0,
                         warm_init: bool = False,
                         noise_prefetch: bool = False,
-                        noise_rsqrt: bool = False):
+                        noise_rsqrt: bool = False,
+                        interpret: bool = False):
     """Aligned-packed chain kernel; see the module docstring for layout and
-    matmul-strategy notes."""
+    matmul-strategy notes.  ``interpret`` switches the noise source to the
+    deterministic counter generator (:func:`_mock_bits`) since the on-core
+    PRNG has no CPU lowering."""
     d0, d1, d2, D = dims
     (p0, p1, p2), (O0, O1, O2), XW = aligned_layout((d0, d1, d2))
     (q1, q2, pD), (Q1, Q2, Q3), OW = aligned_layout((d1, d2, D))
@@ -464,9 +519,16 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 dma_sem3 = scratch[k]
                 k += 1
         tile_i = pl.program_id(0)
-        if noise_std > 0.0:  # seeding is TPU-only; skip on deterministic runs
-            # decorrelate the noise streams of the batch tiles
-            pltpu.prng_seed(seed_ref[0] + tile_i)
+        mock_seed = None
+        if noise_std > 0.0:
+            if interpret:
+                # no CPU lowering for the on-core PRNG: interpret-mode noise
+                # uses the stateless counter generator keyed by this seed
+                # (same per-tile decorrelation as the hardware stream)
+                mock_seed = seed_ref[0] + tile_i
+            else:
+                # decorrelate the noise streams of the batch tiles
+                pltpu.prng_seed(seed_ref[0] + tile_i)
 
         # accumulators are revisited across the sequential batch-tile grid:
         # zero them only on the first tile
@@ -672,13 +734,13 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 | ((col >= O2) & (col < O2 + d2))
             )
 
-        def box_muller(shape, mask):
+        def box_muller(shape, mask, mock=None):
             """Both Box-Muller branches as VALUES (one log/sqrt/sincos per
             pair of steps — consumed by two consecutive inlined steps, no
             scratch round-trip, no per-step predication).  The phase uses
             the polynomial sincos (_sincos_2pi): Mosaic's sin/cos are the
             two costliest ops in the whole step."""
-            u1, u2 = _uniforms(shape)
+            u1, u2 = _uniforms(shape, mock)
             q = -2.0 * jnp.log(u1)
             if noise_rsqrt:
                 # sqrt(q) = q * rsqrt(q): exact identity in reals, a few-ulp
@@ -884,13 +946,25 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 # two steps per iteration: each Box-Muller draw yields two
                 # independent normals, consumed back-to-back (T is static,
                 # so the odd-T epilogue costs no in-loop predication)
-                def gen_pair():
-                    za, zb = box_muller(x_in.shape, valid_mask(x_in.shape))
+                draws_per_pair = 4 if output_pc else 2
+
+                def gen_pair(p):
+                    # p = pair index; consulted only in interpret mode (the
+                    # hardware PRNG is sequential) — it keys the mock draws
+                    # so scheduling variants that consume the same pair
+                    # sequence get bitwise-identical noise
+                    base = None
+                    if interpret:
+                        base = jnp.asarray(p, jnp.int32) * draws_per_pair
+                    mock = (mock_seed, base) if interpret else None
+                    za, zb = box_muller(x_in.shape, valid_mask(x_in.shape),
+                                        mock)
                     if output_pc:
                         col3 = jax.lax.broadcasted_iota(
                             jnp.int32, x3_out.shape, 1
                         )
-                        z3a, z3b = box_muller(x3_out.shape, col3 < D)
+                        mock3 = (mock_seed, base + 2) if interpret else None
+                        z3a, z3b = box_muller(x3_out.shape, col3 < D, mock3)
                     else:
                         z3a = z3b = None
                     return za, zb, z3a, z3b
@@ -901,25 +975,29 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                     # before this pair's steps, giving the scheduler license
                     # to overlap it with the steps' MXU matmuls.  The draws
                     # CONSUMED match the non-prefetch loop draw-for-draw
-                    # (same PRNG stream order), so results are bitwise equal;
-                    # for even T the final iteration's carry is generated and
-                    # discarded — one wasted pair per dispatch (~2/T of the
-                    # noise cost, negligible at chain lengths that matter).
+                    # (same PRNG stream order); results agree to compiler
+                    # fp-reassociation rounding only — the loop carry
+                    # materializes values the inline variant lets the
+                    # compiler fuse (<=1e-6 after 20 steps,
+                    # tests/test_pallas_noise.py).  For even T the final
+                    # iteration's carry is generated and discarded: one
+                    # wasted pair per dispatch (~2/T of the noise cost,
+                    # negligible at chain lengths that matter).
                     def pair_pf(i, z):
-                        z_next = gen_pair()
+                        z_next = gen_pair(i + 1)
                         t = 2 * i
                         step(t, z[0], z[2])
                         step(t + 1, z[1], z[3])
                         return z_next
 
-                    z0 = gen_pair()
+                    z0 = gen_pair(0)
                     if output_pc:
                         zf = jax.lax.fori_loop(0, T // 2, pair_pf, z0)
                     else:
                         # fori_loop carries can't hold None: drop the z3 slots
                         def pair_pf2(i, z):
                             za, zb = z
-                            z_next = gen_pair()
+                            z_next = gen_pair(i + 1)
                             t = 2 * i
                             step(t, za, None)
                             step(t + 1, zb, None)
@@ -933,7 +1011,7 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         step(jnp.int32(T - 1), zf[0], zf[2])
                 else:
                     def pair(i, _):
-                        za, zb, z3a, z3b = gen_pair()
+                        za, zb, z3a, z3b = gen_pair(i)
                         t = 2 * i
                         step(t, za, z3a)
                         step(t + 1, zb, z3b)
@@ -941,7 +1019,7 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
 
                     jax.lax.fori_loop(0, T // 2, pair, ())
                     if T % 2:
-                        za, _zb, z3a, _z3b = gen_pair()
+                        za, _zb, z3a, _z3b = gen_pair(T // 2)
                         step(jnp.int32(T - 1), za, z3a)
             else:
                 jax.lax.fori_loop(
@@ -970,7 +1048,7 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
 
 def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
                  loss: str, inv_var: float, with_pgrads: bool,
-                 bf16_matmul: bool = True):
+                 bf16_matmul: bool = True, interpret: bool = False):
     """Unpacked reference variant (relu-only, single tile): one matmul per
     layer per direction — kept as the readable baseline the packed kernel is
     parity-tested against."""
@@ -982,8 +1060,13 @@ def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
         o0, o1, o2,  # latents out
         *rest,  # pgrad outputs when with_pgrads: gw1 gb1 gw2 gb2 gw3 gb3 gb0
     ):
-        if noise_std > 0.0:  # seeding is TPU-only; skip on deterministic runs
-            pltpu.prng_seed(seed_ref[0])
+        mock_seed = None
+        if noise_std > 0.0:
+            if interpret:
+                # on-core PRNG has no CPU lowering — counter-mock instead
+                mock_seed = seed_ref[0]
+            else:
+                pltpu.prng_seed(seed_ref[0])
 
         if with_pgrads:
             gw1, gb1, gw2, gb2, gw3, gb3, gb0 = rest
@@ -1047,9 +1130,14 @@ def _make_kernel(T: int, mixing: int, lr: float, noise_std: float,
 
             # Langevin update
             if noise_std > 0.0:
-                n0 = _normals(x0v.shape)
-                n1 = _normals(x1v.shape)
-                n2 = _normals(x2v.shape)
+                # step t consumes draws [6t, 6t+6): 2 per _normals call
+                mk = (
+                    (lambda d: (mock_seed, t * 6 + d)) if interpret
+                    else (lambda d: None)
+                )
+                n0 = _normals(x0v.shape, mk(0))
+                n1 = _normals(x1v.shape, mk(2))
+                n2 = _normals(x2v.shape, mk(4))
                 o0[...] = x0v - lr * g0 + noise_std * n0
                 o1[...] = x1v - lr * g1 + noise_std * n1
                 o2[...] = x2v - lr * g2 + noise_std * n2
@@ -1301,6 +1389,7 @@ def mcpc_chain_pallas(
             warm_init=warm_init,
             noise_prefetch=noise_prefetch,
             noise_rsqrt=noise_rsqrt,
+            interpret=interpret,
         )
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         row_block = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0))
@@ -1487,7 +1576,7 @@ def mcpc_chain_pallas(
     kernel = _make_kernel(
         T=T, mixing=mixing, lr=lr, noise_std=noise_std,
         loss=loss, inv_var=1.0 / input_var, with_pgrads=with_pgrads,
-        bf16_matmul=bf16_matmul,
+        bf16_matmul=bf16_matmul, interpret=interpret,
     )
 
     out_shapes = [
