@@ -10,7 +10,7 @@ checks numerical equality against the same step on a single device
 (per-shard whole-chain kernel + psum of the Monte-Carlo grads) against the
 single-shard kernel.
 
-Writes MULTICHIP_r04.json (the builder-run record; the driver captures its own via __graft_entry__.dryrun_multichip).
+Writes MULTICHIP_builder.json (the builder-run record; the driver captures its own via __graft_entry__.dryrun_multichip).
 
 Run: python benchmarks/multichip_flagship.py     (self-provisions an
 8-virtual-device CPU platform, same recipe as tests/conftest.py)
@@ -304,9 +304,9 @@ def main():
         sys.stderr.write(proc.stderr)
         raise RuntimeError(f"flagship multichip gate failed rc={proc.returncode}")
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    with open(os.path.join(REPO, "MULTICHIP_r04.json"), "w") as f:
+    with open(os.path.join(REPO, "MULTICHIP_builder.json"), "w") as f:
         f.write(line + "\n")
-    print("wrote MULTICHIP_r04.json")
+    print("wrote MULTICHIP_builder.json")
 
 
 if __name__ == "__main__":
