@@ -22,7 +22,10 @@ bash scripts/collect_r5.sh  # land the headline + gates before the long tail
 timeout 5400 python benchmarks/trainstep_bench.py > /tmp/r5_trainstep.log 2>&1
 timeout 7200 python benchmarks/chain_roofline.py > /tmp/r5_roofline.log 2>&1
 timeout 7200 python benchmarks/bf16_ab.py > /tmp/r5_bf16_ab.log 2>&1
-timeout 5400 python benchmarks/noise_prefetch_ab.py > /tmp/r5_prefetch.log 2>&1
+# up to 24 cold Mosaic kernel compiles (4 variants x 3 batches x 2 chain
+# lengths; T is a static kernel param) — size the timeout so SIGTERM never
+# lands mid-compile (the round-3 wedge cause)
+timeout 7200 python benchmarks/noise_prefetch_ab.py > /tmp/r5_prefetch.log 2>&1
 # final health check: leave the chip verified-healthy for the driver capture
 timeout 600 python -c "import jax, jax.numpy as jnp; v=float(jnp.ones(())+1); assert v==2.0; print('final-probe-ok', jax.default_backend())" > /tmp/r5_final_probe.log 2>&1
 bash scripts/collect_r5.sh
