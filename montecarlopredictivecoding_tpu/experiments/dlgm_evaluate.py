@@ -35,6 +35,18 @@ def main():
     dlgm = DLGM(784, args.hidden_dim, args.latent_dim, factor_recog=1, key=0)
     if args.torch:
         dlgm.gen_params, dlgm.rec_params = load_torch_dlgm(args.checkpoint)
+        if "fc3" in dlgm.gen_params:
+            # simple reference topology (the shipped checkpoint): one latent
+            # level, factor class inferred from the cov head width
+            from ..models.cholesky import factor_from_free_size
+
+            latent = int(dlgm.gen_params["fc3"]["w"].shape[0])
+            dlgm.latent_dim_list = [latent]
+            dlgm.factors = [
+                factor_from_free_size(
+                    latent, int(dlgm.rec_params["nets"][0]["cov"]["w"].shape[1])
+                )
+            ]
     else:
         dlgm.gen_params, dlgm.rec_params = load_checkpoint(
             args.checkpoint, (dlgm.gen_params, dlgm.rec_params)

@@ -68,3 +68,17 @@ class RankOneFactor:
         R = jnp.einsum("bi,bj->bij", v, v)
         idx = jnp.arange(self.size)
         return R.at[:, idx, idx].set(d)
+
+
+def factor_from_free_size(latent_dim: int, free_size: int):
+    """Identify a reference factor from its free-parameter width — torch
+    checkpoints only record the cov head's out-dim (recognition.py:16),
+    so imports must infer the class.  First match wins on the (tiny-d)
+    collisions; unambiguous for d > 3."""
+    for cls in (CholeskyFactor, DiagonalFactor, RankOneFactor):
+        f = cls(latent_dim)
+        if f.free_parameter_size() == free_size:
+            return f
+    raise ValueError(
+        f"no factor with free size {free_size} at latent dim {latent_dim}"
+    )

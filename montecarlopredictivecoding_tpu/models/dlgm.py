@@ -65,7 +65,16 @@ def init_generative(key, input_dim: int = 784, dim_list=(20, 128, 128)):
 
 def generative_forward(params, z_list) -> Array:
     """h₀ = b + z₀; h_{l+1} = T_l(ReLU... ) — reference applies
-    ``T = ReLU then Linear`` (DLGM.py:92-98) and sigmoid at the output."""
+    ``T = ReLU then Linear`` (DLGM.py:92-98) and sigmoid at the output.
+
+    Params carrying ``fc3``/``fc4`` are the reference's SIMPLE
+    GenerativeModel (generative.py:5-16, the topology of the shipped
+    checkpoint): probs = sigmoid(fc4(relu(fc3(z)))) with a single latent
+    level (note: no ReLU on z itself, unlike the stacked head)."""
+    if "fc3" in params:
+        z = z_list[0] if isinstance(z_list, (list, tuple)) else z_list
+        h = jax.nn.relu(_apply(params["fc3"], z))
+        return jax.nn.sigmoid(_apply(params["fc4"], h))
     h = params["bias"][None, :] + z_list[0]
     for T_p, z in zip(params["T"], z_list[1:]):
         h = _apply(T_p, jax.nn.relu(h)) + z
@@ -147,12 +156,41 @@ def recognition_sample(key, mus, Rs):
 # -- ELBO --------------------------------------------------------------------------
 
 
+def _bce_logs(recon: Array):
+    """(log recon, log(1-recon)) with torch ``binary_cross_entropy``'s exact
+    clamp semantics — each log term floored at -100 (torch clamps log(0) to
+    -100 rather than clipping the probability; parity-tested against the
+    reference's trained checkpoint in test_dlgm_reference_checkpoint.py).
+    Saturated probabilities (exactly 0/1 in f32) take the constant branch,
+    so gradients stay finite (no 0·inf)."""
+    log_r = jnp.where(
+        recon > 0.0,
+        jnp.maximum(jnp.log(jnp.where(recon > 0.0, recon, 1.0)), -100.0),
+        -100.0,
+    )
+    om = 1.0 - recon
+    log_1mr = jnp.where(
+        om > 0.0,
+        jnp.maximum(jnp.log(jnp.where(om > 0.0, om, 1.0)), -100.0),
+        -100.0,
+    )
+    return log_r, log_1mr
+
+
 def dlgm_loss(recon: Array, x: Array, mus, Rs) -> Array:
     """Summed BCE + Σ_l full-covariance KL to the standard-normal prior
-    (reference loss_function, DLGM.py:18-41)."""
-    eps = 1e-7
-    recon = jnp.clip(recon, eps, 1.0 - eps)
-    bce = -jnp.sum(x * jnp.log(recon) + (1.0 - x) * jnp.log(1.0 - recon))
+    (reference loss_function, DLGM.py:18-41 == losses.py:8-31; BCE log
+    terms carry torch's -100 clamp semantics via :func:`_bce_logs`).
+
+    QUIRK preserved: the reference's KL subtracts **1 per datum**, not the
+    latent dimension d (``... -1`` inside ``torch.sum`` over the batch,
+    DLGM.py:39) — the textbook KL would subtract d.  The difference is the
+    constant 0.5·(d−1) per datum (zero gradient), but reported ELBO values
+    only match the reference with the quirk, and the trained-checkpoint
+    parity test (test_dlgm_reference_checkpoint.py::test_elbo_loss_parity)
+    pins it."""
+    log_r, log_1mr = _bce_logs(recon)
+    bce = -jnp.sum(x * log_r + (1.0 - x) * log_1mr)
     kld = 0.0
     for mu, R in zip(mus, Rs):
         tr = jnp.sum(R * R, axis=(-2, -1))  # tr(RRᵀ)
@@ -160,7 +198,7 @@ def dlgm_loss(recon: Array, x: Array, mus, Rs) -> Array:
         logdiag = jnp.log(R[:, idx, idx])
         kld += 0.5 * jnp.sum(
             jnp.sum(mu * mu, axis=-1) + tr - 2.0 * jnp.sum(logdiag, axis=-1)
-            - R.shape[-1]
+            - 1.0
         )
     return bce + kld
 
@@ -387,10 +425,11 @@ class DLGM:
             rep = jnp.repeat(data, particle_size, axis=0)  # [B*P, D]
             mus, Rs = recognition_forward(rp, factors, rep)
             z = recognition_sample(key, mus, Rs)
-            recon = jnp.clip(generative_forward(gp, z), 1e-7, 1 - 1e-7)
-            log_px_z = jnp.sum(
-                rep * jnp.log(recon) + (1 - rep) * jnp.log(1 - recon), axis=1
-            )
+            recon = generative_forward(gp, z)
+            # torch-BCE clamp semantics (reference evaluate.py:80 uses
+            # -F.binary_cross_entropy(..., reduction='none'))
+            log_r, log_1mr = _bce_logs(recon)
+            log_px_z = jnp.sum(rep * log_r + (1 - rep) * log_1mr, axis=1)
             log_prior = sum(
                 -0.5 * jnp.sum(zz * zz, axis=1)
                 - 0.5 * zz.shape[1] * jnp.log(2 * jnp.pi)

@@ -100,10 +100,58 @@ def _t(v) -> jnp.ndarray:
 
 
 def torch_dlgm_state_dict_to_params(state_dict: tp.Mapping[str, tp.Any]):
-    """Convert a reference DLGM checkpoint (nested-module state dict with
-    ``generative_model.*`` / ``recognition_model.node_list.N.*`` keys,
-    reference evaluate.py:58-60 / DLGM.py:216-228) into our
-    (gen_params, rec_params) pytrees for :class:`..models.dlgm.DLGM`."""
+    """Convert a reference DLGM checkpoint into our (gen_params, rec_params)
+    pytrees for :class:`..models.dlgm.DLGM`.
+
+    Accepts both layouts the reference produces:
+
+    - the NESTED two-level dict the reference saves and loads
+      (``{"generative_model": sd, "recognition_model": sd}``,
+      evaluate.py:58-60) — flattened to dotted keys first;
+    - flat dotted state dicts.
+
+    And both topologies:
+
+    - the SIMPLE GenerativeModel/RecognitionModel (generative.py:5-16,
+      recognition.py:8-32 — fc3/fc4 + fc1/fc21/fc22; the topology of the
+      shipped ``GenerativeModel_RecognitionModel_CholeskyFactor.pth``) —
+      returned as ``({"fc3", "fc4"}, {"nets": [one net]})``, consumed by
+      :func:`..models.dlgm.generative_forward`'s simple branch;
+    - the stacked zoo (``T_list``/``final``/``node_list.N``,
+      DLGM.py:216-228)."""
+    # flatten the reference's nested save format to dotted keys
+    if any(not hasattr(v, "shape") and isinstance(v, tp.Mapping)
+           for v in state_dict.values()):
+        flat = {}
+        for top, sub in state_dict.items():
+            if isinstance(sub, tp.Mapping):
+                for k, v in sub.items():
+                    flat[f"{top}.{k}"] = v
+            else:
+                flat[top] = sub
+        state_dict = flat
+
+    if "generative_model.fc3.weight" in state_dict:
+        gen_s = {
+            "fc3": {"w": _t(state_dict["generative_model.fc3.weight"]).T,
+                    "b": _t(state_dict["generative_model.fc3.bias"])},
+            "fc4": {"w": _t(state_dict["generative_model.fc4.weight"]).T,
+                    "b": _t(state_dict["generative_model.fc4.bias"])},
+        }
+        rec_s = {
+            "nets": [
+                {
+                    "fc1": {"w": _t(state_dict["recognition_model.fc1.weight"]).T,
+                            "b": _t(state_dict["recognition_model.fc1.bias"])},
+                    "mu": {"w": _t(state_dict["recognition_model.fc21.weight"]).T,
+                           "b": _t(state_dict["recognition_model.fc21.bias"])},
+                    "cov": {"w": _t(state_dict["recognition_model.fc22.weight"]).T,
+                            "b": _t(state_dict["recognition_model.fc22.bias"])},
+                }
+            ]
+        }
+        return gen_s, rec_s
+
     gen: dict = {"bias": None, "T": [], "final": None}
     for k in sorted(state_dict):
         m = re.fullmatch(r"generative_model\.T_list\.(\d+)\.1\.weight", k)

@@ -63,7 +63,11 @@ def test_rank_one_matches_reference_formula():
 
 
 def test_kl_term_diagonal_case():
-    # For diagonal R the KL must equal the classic VAE closed form.
+    # For diagonal R the KL matches the classic VAE closed form UP TO the
+    # reference's preserved quirk: it subtracts 1 per DATUM, not per
+    # dimension (DLGM.py:39 `... -1` inside the batch sum) — a constant
+    # 0.5*(d-1)/datum offset with zero gradient, pinned against the
+    # reference's trained checkpoint in test_dlgm_reference_checkpoint.py.
     mu = jnp.array([[0.5, -1.0]])
     sd = jnp.array([[0.8, 1.3]])
     R = jnp.eye(2)[None] * sd[:, :, None]
@@ -71,8 +75,12 @@ def test_kl_term_diagonal_case():
     recon = 0.5 * jnp.ones((1, 4))
     loss = dlgm_loss(recon, x, [mu], [R])
     bce = -4 * np.log(0.5)
-    kl = 0.5 * np.sum(np.asarray(mu) ** 2 + np.asarray(sd) ** 2 - 2 * np.log(np.asarray(sd)) - 1)
-    assert abs(float(loss) - (bce + kl)) < 1e-4
+    kl_textbook = 0.5 * np.sum(
+        np.asarray(mu) ** 2 + np.asarray(sd) ** 2 - 2 * np.log(np.asarray(sd)) - 1
+    )
+    d = 2
+    quirk_offset = 0.5 * (d - 1)  # reference subtracts 1/datum, not d/datum
+    assert abs(float(loss) - (bce + kl_textbook + quirk_offset)) < 1e-4
 
 
 def test_generative_chain_shapes(key):
