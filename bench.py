@@ -62,6 +62,17 @@ REFERENCE_CPU_STEPS_PER_SEC = 147.6
 # worst_case_wallclock_s() and tests/test_bench_supervisor.py.
 DEFAULT_BUDGET_S = 1200.0
 PROBE_TIMEOUT_S = 150.0
+# Cold-compile caveat: under the default budget the inner run gets
+# ~1050-1170 s, which covers warm-cache runs with huge margin but can
+# SIGKILL a fully COLD T=10000 Mosaic compile mid-flight (the persistent
+# /tmp/jax_tpu_cache makes this rare; compiles are host/tunnel-side, so a
+# kill there is far less wedge-prone than one mid-dispatch, and the
+# sub-second chain dispatches keep that window tiny).  The alternative —
+# a budget exceeding the driver's kill window — is strictly worse: the
+# driver then SIGKILLs at an arbitrary point anyway AND the record is an
+# unparseable rc=124 (BENCH_r04.json).  Long-budget runs (the round
+# runbook) override via MCPC_BENCH_BUDGET_S and leave the cache warm for
+# the driver's capture.
 
 
 def worst_case_wallclock_s(budget_s: float = DEFAULT_BUDGET_S) -> float:
@@ -455,6 +466,7 @@ def _supervise() -> None:
 
     probe_timeout, backoff = PROBE_TIMEOUT_S, 60.0
     probed_ok = False
+    probed_ok_ever = False
     inner_attempts = 0
     while time.monotonic() < deadline:
         remaining = deadline - time.monotonic()
@@ -477,6 +489,7 @@ def _supervise() -> None:
                 backoff = min(backoff * 1.6, 300.0)
                 continue
             probed_ok = True
+            probed_ok_ever = True
         remaining = deadline - time.monotonic()
         if remaining < 120:
             break
@@ -526,6 +539,13 @@ def _supervise() -> None:
             _failure_json(
                 f"backend reachable but inner benchmark failed "
                 f"{inner_attempts} time(s) within the supervisor budget"
+            )
+        )
+    elif probed_ok_ever:
+        print(
+            _failure_json(
+                "backend reachable but the remaining supervisor budget left "
+                "no time for an inner benchmark attempt"
             )
         )
     else:

@@ -73,12 +73,22 @@ class RankOneFactor:
 def factor_from_free_size(latent_dim: int, free_size: int):
     """Identify a reference factor from its free-parameter width — torch
     checkpoints only record the cov head's out-dim (recognition.py:16),
-    so imports must infer the class.  First match wins on the (tiny-d)
-    collisions; unambiguous for d > 3."""
-    for cls in (CholeskyFactor, DiagonalFactor, RankOneFactor):
-        f = cls(latent_dim)
-        if f.free_parameter_size() == free_size:
-            return f
+    so imports must infer the class.  Raises on the tiny-d collisions
+    (d=1: Cholesky==Diagonal; d=3: Cholesky==RankOne) rather than silently
+    picking one and parameterizing garbage; unambiguous for d > 3."""
+    matches = [
+        cls(latent_dim)
+        for cls in (CholeskyFactor, DiagonalFactor, RankOneFactor)
+        if cls(latent_dim).free_parameter_size() == free_size
+    ]
+    if len(matches) == 1:
+        return matches[0]
+    if matches:
+        names = ", ".join(type(m).__name__ for m in matches)
+        raise ValueError(
+            f"free size {free_size} at latent dim {latent_dim} is ambiguous "
+            f"({names}) — pass the factor explicitly"
+        )
     raise ValueError(
         f"no factor with free size {free_size} at latent dim {latent_dim}"
     )

@@ -438,9 +438,18 @@ class DLGM:
             log_q = 0.0
             for zz, mu, R in zip(z, mus, Rs):
                 diff = zz - mu
-                # solve R y = diff (R lower-tri-ish; rank-one factor is dense
-                # but invertible) -> log N(z; mu, RRᵀ)
-                y = jnp.linalg.solve(R, diff[..., None])[..., 0]
+                # QUIRK-faithful q-density: the reference scores particles
+                # with MultivariateNormal(scale_tril=R).log_prob
+                # (recognition.py:30-32), whose triangular solve reads ONLY
+                # tril(R) — while its sampler uses the FULL R (einsum,
+                # recognition.py:26-28).  For CholeskyFactor the two agree;
+                # for the dense RankOneFactor the reference's q-PDF thus
+                # doesn't match its own sampler, and parity means mirroring
+                # that: solve_triangular(lower) + diag logdet, NOT a dense
+                # solve.
+                y = jax.scipy.linalg.solve_triangular(
+                    R, diff[..., None], lower=True
+                )[..., 0]
                 idx = jnp.arange(R.shape[-1])
                 logdet = jnp.sum(jnp.log(jnp.abs(R[:, idx, idx])), axis=1)
                 log_q += (

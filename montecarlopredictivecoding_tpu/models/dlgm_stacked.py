@@ -269,10 +269,12 @@ class StackedMetrics:
             rep = jnp.repeat(data, particle_size, axis=0)
             mus, Rs = recognition_stacked_forward(rec_params, factors, rep)
             z = recognition_sample_stacked(key, mus, Rs)
-            recon = jnp.clip(generative_stacked_forward(gen_params, z), 1e-7, 1 - 1e-7)
-            log_px_z = jnp.sum(
-                rep * jnp.log(recon) + (1 - rep) * jnp.log(1 - recon), axis=1
-            )
+            # torch-BCE -100 clamp semantics, shared with the simple DLGM
+            # (reference evaluate.py:80 uses -F.binary_cross_entropy)
+            from .dlgm import _bce_logs
+
+            log_r, log_1mr = _bce_logs(generative_stacked_forward(gen_params, z))
+            log_px_z = jnp.sum(rep * log_r + (1 - rep) * log_1mr, axis=1)
             log_w = log_px_z + log_prob_prior(z) - recognition_log_prob(z, mus, Rs)
             log_w = log_w.reshape(B, particle_size)
             log_px = jax.scipy.special.logsumexp(log_w, axis=1) - jnp.log(particle_size)

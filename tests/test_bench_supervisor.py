@@ -79,11 +79,22 @@ def test_supervisor_worst_case_fits_driver_kill_window():
     failure-JSON never printed.  Pin the schedule: the DEFAULT budget's
     worst-case wall-clock (all probes + backoffs + teardown + final print)
     must stay under 1500 s."""
+    # bench.py flips jax compile-cache config at import (TPU cache dir,
+    # 1.0s min compile time) — snapshot/restore so the rest of the CPU
+    # suite keeps the mandatory /tmp/jax_test_cache (CLAUDE.md)
+    import jax
+
+    saved = (
+        jax.config.jax_compilation_cache_dir,
+        jax.config.jax_persistent_cache_min_compile_time_secs,
+    )
     sys.path.insert(0, str(REPO))
     try:
         import bench
     finally:
         sys.path.pop(0)
+        jax.config.update("jax_compilation_cache_dir", saved[0])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", saved[1])
     assert bench.worst_case_wallclock_s() < 1500.0
     # the bound must scale with the env override, not silently cap
     assert bench.worst_case_wallclock_s(600.0) < bench.worst_case_wallclock_s()

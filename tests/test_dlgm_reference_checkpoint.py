@@ -121,13 +121,17 @@ def test_importance_nll_parity(both_sides):
     x32 = x[:32]
     P = 256
 
-    # reference estimator (mirrors evaluate.py's loop, written independently)
+    # reference estimator (mirrors evaluate.py's loop, written independently;
+    # evaluate.py:80 scores p(v|z) via -F.binary_cross_entropy — keep its
+    # exact -100 clamp semantics, no probability clipping)
+    import torch.nn.functional as F
+
     with torch.no_grad():
         data = torch.from_numpy(x32).repeat(P, 1)
         mu, R = rm(data)
         z = rm.sample(mu, R)
-        recon = gm(z).clamp(1e-7, 1 - 1e-7)
-        log_px_z = (data * recon.log() + (1 - data) * (1 - recon).log()).sum(-1)
+        recon = gm(z)
+        log_px_z = -F.binary_cross_entropy(recon, data, reduction="none").sum(-1)
         log_prior = gm.log_prob_prior(z)
         log_q = rm.log_prob(z, mu, R)
         log_w = (log_px_z + log_prior - log_q).reshape(P, 32).T
