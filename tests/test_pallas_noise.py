@@ -129,6 +129,20 @@ def test_noise_parity_tolerance_is_sensitive(mlp_setup):
     ) > 1e-2
 
 
+def test_noise_prefetch_rsqrt_combo_parity(mlp_setup):
+    """The combined variant (both flags, the 4th cell of the hardware A/B)
+    stays within the rsqrt tolerance of the default loop."""
+    _, params, latents, target = mlp_setup
+    kw = dict(T=21, mixing=4, loss="bernoulli", with_pgrads=True,
+              return_scalars=True)
+    base = _run(params, latents, target, **kw)
+    combo = _run(params, latents, target, noise_prefetch=True,
+                 noise_rsqrt=True, **kw)
+    for a, b in zip(jax.tree_util.tree_leaves(base),
+                    jax.tree_util.tree_leaves(combo)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("T", [20, 21])
 def test_noise_prefetch_parity_output_pc(output_pc_setup, T):
     """Same parity through the trailing-PC joint sampler (4 noise draws per
