@@ -422,6 +422,37 @@ def _failure_json(reason: str) -> str:
     )
 
 
+def _relay_tcp_state(ports=(8082, 8083), host=None, timeout_s=3.0):
+    """Classify the axon tunnel's TCP legs without touching jax.
+
+    The tunneled backend has two distinct failure modes that a timed-out
+    probe can't tell apart: the loopback relay itself down (TCP connect
+    refused on the claim/init ports — observed round 5, >24 h) versus the
+    relay up but the remote claim wedged (TCP accepts, init hangs — the
+    round-3/4 wedge).  Ports: 8082 is the claim leg, 8083 the init leg
+    (axon client docs).  Returns a compact human-readable string, or None
+    when the platform is pinned to CPU (relay state is irrelevant there).
+    """
+    import os
+    import socket
+
+    plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if plat and plat != "axon":
+        return None
+    host = host or os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")[0]
+    states = []
+    for port in ports:
+        try:
+            with socket.create_connection((host, port), timeout=timeout_s):
+                states.append(f"{port} open")
+        except (ConnectionRefusedError, OSError) as e:
+            kind = "refused" if isinstance(e, ConnectionRefusedError) else (
+                "timeout" if isinstance(e, socket.timeout) else "error"
+            )
+            states.append(f"{port} {kind}")
+    return "relay TCP: " + ", ".join(states)
+
+
 def _probe_backend(timeout_s: float) -> bool:
     """Backend init + one tiny dispatch + readback in a short-timeout
     subprocess.  A wedged tunneled chip hangs `jax.devices()` indefinitely;
@@ -478,10 +509,12 @@ def _supervise() -> None:
             )
             if not _probe_backend(min(probe_timeout, max(remaining, 30.0))):
                 sleep_s = min(backoff, max(deadline - time.monotonic(), 0.0))
+                relay = _relay_tcp_state()
                 if sleep_s <= 0:
                     break
                 print(
-                    f"[bench supervisor] backend unreachable; retrying in "
+                    f"[bench supervisor] backend unreachable"
+                    f"{' (' + relay + ')' if relay else ''}; retrying in "
                     f"{sleep_s:.0f}s",
                     file=sys.stderr,
                 )
@@ -549,7 +582,13 @@ def _supervise() -> None:
             )
         )
     else:
-        print(_failure_json("backend unreachable for the whole supervisor budget"))
+        relay = _relay_tcp_state()
+        print(
+            _failure_json(
+                "backend unreachable for the whole supervisor budget"
+                + (f" ({relay})" if relay else "")
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -72,16 +72,10 @@ def test_supervisor_success_path_cpu_smoke():
     assert after == before, "smoke run modified BENCH_DETAIL.md"
 
 
-def test_supervisor_worst_case_fits_driver_kill_window():
-    """BENCH_r04.json was rc=124: the driver SIGKILLed the supervisor
-    mid-backoff (observed kill somewhere in [1606 s, 1906 s)) because the
-    3300 s default budget exceeded the kill window, so the guaranteed
-    failure-JSON never printed.  Pin the schedule: the DEFAULT budget's
-    worst-case wall-clock (all probes + backoffs + teardown + final print)
-    must stay under 1500 s."""
-    # bench.py flips jax compile-cache config at import (TPU cache dir,
-    # 1.0s min compile time) — snapshot/restore so the rest of the CPU
-    # suite keeps the mandatory /tmp/jax_test_cache (CLAUDE.md)
+def _import_bench():
+    """Import bench.py with its compile-cache config side effects undone
+    (bench.py flips the cache dir to /tmp/jax_tpu_cache at import; the CPU
+    suite must keep /tmp/jax_test_cache — CLAUDE.md)."""
     import jax
 
     saved = (
@@ -95,9 +89,59 @@ def test_supervisor_worst_case_fits_driver_kill_window():
         sys.path.pop(0)
         jax.config.update("jax_compilation_cache_dir", saved[0])
         jax.config.update("jax_persistent_cache_min_compile_time_secs", saved[1])
+    return bench
+
+
+def test_supervisor_worst_case_fits_driver_kill_window():
+    """BENCH_r04.json was rc=124: the driver SIGKILLed the supervisor
+    mid-backoff (observed kill somewhere in [1606 s, 1906 s)) because the
+    3300 s default budget exceeded the kill window, so the guaranteed
+    failure-JSON never printed.  Pin the schedule: the DEFAULT budget's
+    worst-case wall-clock (all probes + backoffs + teardown + final print)
+    must stay under 1500 s."""
+    bench = _import_bench()
     assert bench.worst_case_wallclock_s() < 1500.0
     # the bound must scale with the env override, not silently cap
     assert bench.worst_case_wallclock_s(600.0) < bench.worst_case_wallclock_s()
+
+
+def test_relay_tcp_state_classifies_open_refused_and_cpu():
+    """The failure JSON's relay diagnostic must distinguish 'relay TCP down'
+    (connect refused — observed round 5, >24 h outage) from 'relay up but
+    claim wedged' (TCP accepts, backend init hangs — the round-3/4 wedge),
+    and stay silent when the platform is pinned to CPU."""
+    import socket
+
+    bench = _import_bench()
+
+    # a real listener → "open"; a closed ephemeral port → "refused"
+    lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    open_port = lsock.getsockname()[1]
+    csock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    csock.bind(("127.0.0.1", 0))
+    closed_port = csock.getsockname()[1]
+    csock.close()  # bound-then-closed: guaranteed unused right now
+    try:
+        env_platforms = os.environ.pop("JAX_PLATFORMS", None)
+        try:
+            os.environ["JAX_PLATFORMS"] = "axon"
+            state = bench._relay_tcp_state(
+                ports=(open_port, closed_port), host="127.0.0.1", timeout_s=2.0
+            )
+            assert state == (
+                f"relay TCP: {open_port} open, {closed_port} refused"
+            ), state
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            assert bench._relay_tcp_state(ports=(open_port,)) is None
+        finally:
+            if env_platforms is None:
+                os.environ.pop("JAX_PLATFORMS", None)
+            else:
+                os.environ["JAX_PLATFORMS"] = env_platforms
+    finally:
+        lsock.close()
 
 
 def test_supervisor_reports_inner_failure_distinctly():
