@@ -8,6 +8,8 @@ mkdir -p hw_transcripts/r5
 for f in /tmp/r5_*.log; do
   [ -e "$f" ] && cp "$f" hw_transcripts/r5/;
 done
+# outage/recovery trail (probe failures, relay-refused heartbeats, recovery)
+[ -e /tmp/tpu_watch5.log ] && cp /tmp/tpu_watch5.log hw_transcripts/r5/r5_watchdog.log
 PATHS="hw_transcripts/r5"
 for f in BENCH_DETAIL.md ROOFLINE.md BF16_AB.md; do
   [ -e "$f" ] && PATHS="$PATHS $f";

@@ -15,8 +15,11 @@
 DEADLINE=$(( $(date +%s) + ${1:-36000} ))
 LOG=${LOG:-/tmp/tpu_watch5.log}
 RELAY_PORT=${RELAY_PORT:-8083}
+HEARTBEAT_S=${HEARTBEAT_S:-900}
 cd /root/repo
 echo "tcp-watchdog start $(date -u), horizon $(( DEADLINE - $(date +%s) ))s, port $RELAY_PORT" >> "$LOG"
+REFUSED=0
+LAST_BEAT=$(date +%s)
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   if timeout 5 bash -c "echo > /dev/tcp/127.0.0.1/$RELAY_PORT" 2>/dev/null; then
     echo "relay TCP open $(date -u); running jax probe" >> "$LOG"
@@ -31,6 +34,15 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     echo "relay open but backend probe failed $(date -u)" >> "$LOG"
     sleep 240
   else
+    # heartbeat: leave a timestamped outage trail while the relay refuses
+    # TCP (otherwise hours of downtime would produce zero log evidence)
+    REFUSED=$(( REFUSED + 1 ))
+    NOW=$(date +%s)
+    if [ $(( NOW - LAST_BEAT )) -ge "$HEARTBEAT_S" ]; then
+      echo "relay still refused ($REFUSED checks since last note) $(date -u)" >> "$LOG"
+      LAST_BEAT=$NOW
+      REFUSED=0
+    fi
     sleep 20
   fi
 done
