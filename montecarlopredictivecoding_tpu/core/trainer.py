@@ -218,6 +218,12 @@ class PCTrainer:
         # f32 state) once the batch is wide enough to be compute-bound;
         # True/False force/disable.
         self.use_pallas_bf16: tp.Union[str, bool] = "auto"
+        # kernel-fallback observability (the reference's slow-option-warning
+        # role, predictive_coding/utils.py:8-16): when a dispatch that could
+        # have used the fused kernel falls back to the scan engine, the
+        # disqualifying option is recorded here and warned once per reason.
+        self._kernel_fallback_reason: tp.Optional[tp.Tuple[str, str]] = None
+        self._warned_fallbacks: set = set()
 
     # -- reference utility surface (pc_trainer.py:312-461) ---------------------
 
@@ -300,6 +306,30 @@ class PCTrainer:
         ]
         return dims, aligned_layout(dims)
 
+    def _no_kernel(self, option: str, suggestion: str):
+        """Record why this dispatch fell back to the scan engine (surfaced
+        via ``utils.observability.slow_down_warning`` when the kernel was
+        expected — TPU backend or ``use_pallas=True``)."""
+        self._kernel_fallback_reason = (option, suggestion)
+        return None
+
+    def _warn_kernel_fallback(self) -> None:
+        if self._kernel_fallback_reason is None:
+            return
+        if not (self.use_pallas is True or jax.default_backend() == "tpu"):
+            return
+        if self._kernel_fallback_reason in self._warned_fallbacks:
+            return
+        self._warned_fallbacks.add(self._kernel_fallback_reason)
+        from ..utils.observability import slow_down_warning
+
+        option, suggestion = self._kernel_fallback_reason
+        slow_down_warning(
+            "PCTrainer.train_on_batch",
+            f"{option} (chain runs in the scan engine, not the fused kernel)",
+            suggestion,
+        )
+
     def _pallas_eligible(
         self, cfg: EngineConfig, loss_fn, is_optimize_inputs, langevin_var,
         batch_size: int,
@@ -318,6 +348,7 @@ class PCTrainer:
         from ..core import losses as L
         from ..ops import model_activation, supports_model
 
+        self._kernel_fallback_reason = None
         if self.use_pallas is False:
             return None
         if self.use_pallas == "auto" and jax.default_backend() != "tpu":
@@ -329,30 +360,50 @@ class PCTrainer:
 
             output_var = output_pc_var(self.gen.model)
             if output_var is None or activation is None:
-                return None
+                return self._no_kernel(
+                    "a model topology outside the fused-kernel family",
+                    "a relu/tanh Linear+PC stack (optional trailing PC)",
+                )
         from ..ops.pallas_mcpc import _pick_batch_tile
 
         if batch_size > 1024 and _pick_batch_tile(batch_size) < 128:
             # no VMEM-tile divisor: the grid would serialize the chain ~B
             # times — the scan engine handles awkward batches in one pass
-            return None
+            return self._no_kernel(
+                f"a batch size ({batch_size}) with no 128-lane tile divisor",
+                "a multiple of 128",
+            )
         if self.opt_x_spec.name == "sgd" and not self.opt_x_spec.momentum:
             mode = "langevin"
         elif self.opt_x_spec.name == "adam" and not self.opt_x_spec.weight_decay:
             mode = "warm"
         else:
-            return None
+            return self._no_kernel(
+                f"optimizer_x_fn={self.opt_x_spec.name} with "
+                "momentum/weight_decay",
+                "plain sgd or adam",
+            )
         if cfg.energy_coefficient != 1.0:
-            return None  # the kernel hardcodes overall = loss + 1.0 * energy
+            # the kernel hardcodes overall = loss + 1.0 * energy
+            return self._no_kernel("energy_coefficient != 1.0", "1.0")
         if self._lr_scale_host is None or self._lr_scale_host <= 0.0:
             # a dynamic-annealing run left the live scale device-side only;
             # the host mirror is unknown, so the kernel's static lr can't
             # fold it (see train_on_batch's post-run invalidation)
-            return None
+            return self._no_kernel(
+                "set_x_lr after a dynamic-lr run (device-only scale)",
+                "set_x_lr/recreate_optimizer_x to re-arm",
+            )
         if cfg.dynamic_x_lr or cfg.early_stop_fn is not None:
-            return None
+            return self._no_kernel(
+                "x_lr_discount/x_lr_amplifier or early_stop_fn",
+                "1.0 / None",
+            )
         if cfg.loss_x_fn is not None or cfg.loss_inputs_fn is not None or is_optimize_inputs:
-            return None
+            return self._no_kernel(
+                "loss_x_fn / loss_inputs_fn / is_optimize_inputs",
+                "None / False",
+            )
         # 'outputs' captures are served from the latent trajectory
         # (outputs_t = act(x2_t) @ W3 + b3, the same pre-update forward the
         # engine records)
@@ -360,9 +411,9 @@ class PCTrainer:
             cfg.capture_representations or cfg.capture_xs or cfg.capture_outputs
         )
         if cfg.capture_overall_elementwise:
-            return None
+            return self._no_kernel("is_return_batchelement_loss", "False")
         if wants_traj and not self.use_pallas_capture:
-            return None
+            return None  # user explicitly routed captures to the engine
         scalar_stride = 0
         if cfg.capture_every_t and not wants_traj:
             # Per-step loss/energy curves (the reference's DEFAULT
@@ -376,17 +427,24 @@ class PCTrainer:
             # noise lives in the Langevin phase only (captures ride the warm
             # trajectory DMA)
             if langevin_var is not None:
-                return None
+                return self._no_kernel(
+                    "LangevinStep noise under an Adam x-optimizer",
+                    "sgd for Langevin chains",
+                )
             if self._opt_x_state is not None:
                 # continuation call (no resample): the kernel accepts the
                 # live Adam moments + count as inputs (reference semantics:
                 # the optimizer object persists, pc_trainer.py:741-752)
                 if self._adam_moments(self._opt_x_state) is None:
-                    return None
+                    return self._no_kernel(
+                        "a continuation with a non-plain-Adam optimizer-x "
+                        "state",
+                        "is_reset_optimizer_x_at_batch_start=True",
+                    )
                 warm_cont = True
         plan = cfg.plan
         if plan.update_x_at != tuple(range(plan.T)):
-            return None
+            return self._no_kernel("update_x_at != 'all'", "'all'")
         # static kwargs ('perc', '_reduction') arrive pre-bound in a partial
         # (train_on_batch's _static_loss_partial) — unwrap to identify the
         # base loss and the mask fraction
@@ -410,11 +468,17 @@ class PCTrainer:
         elif base_fn is L.zero_fn or loss_fn is None:
             loss_name = "none"
         if loss_name is None:
-            return None
+            return self._no_kernel(
+                "an unsupported loss_fn",
+                "fe_fn/bernoulli_fn (+_mask) or zero_fn",
+            )
         if output_var is not None and loss_name != "none":
             # trailing-PC joint samplers are unclamped by construction
             # (reference figure_3.py:47-55)
-            return None
+            return self._no_kernel(
+                "a sensory loss on an output-PC joint sampler",
+                "zero_fn",
+            )
         cap = {}
         if wants_traj:
             cap = {
@@ -431,13 +495,22 @@ class PCTrainer:
         if not plan.update_p_at:
             return {**base, "with_pgrads": False, "mixing": 0, **cap}
         if plan.update_p_at != (plan.T - 1,):
-            return None
+            return self._no_kernel(
+                "update_p_at other than 'last'/'never'", "'last' or 'never'"
+            )
         if plan.accumulate_p_at:
             if mode == "warm":
-                return None  # warm-mode pgrads come from the last step only
+                # warm-mode pgrads come from the last step only
+                return self._no_kernel(
+                    "accumulate_p_at under an Adam x-optimizer",
+                    "'never' (last-step grads) or sgd",
+                )
             acc = plan.accumulate_p_at
             if acc != tuple(range(acc[0], plan.T)):
-                return None
+                return self._no_kernel(
+                    "a non-contiguous accumulate_p_at window",
+                    "a contiguous suffix [mixing, T)",
+                )
             mixing = acc[0]
         else:
             mixing = plan.T - 1
@@ -781,7 +854,12 @@ class PCTrainer:
         if dispatch is not None and any(
             k.startswith("energy__") for k in loss_fn_kwargs
         ):
-            dispatch = None  # extra energy inputs aren't kernel-representable
+            # extra energy inputs aren't kernel-representable
+            dispatch = self._no_kernel(
+                "energy__* extra energy inputs", "a plain energy_fn"
+            )
+        if dispatch is None:
+            self._warn_kernel_fallback()
         if dispatch is not None:
             results = self._run_pallas(
                 dispatch, cfg, inputs, loss_fn_kwargs, langevin_var,

@@ -175,3 +175,89 @@ def test_sweep_warm_langevin_chains_matches_sequential():
                 np.asarray(xs_sweep[li][s]), np.asarray(res["xs"][li]),
                 atol=2e-5,
             )
+
+
+def test_slow_down_warning_direct():
+    from montecarlopredictivecoding_tpu.utils.observability import (
+        slow_down_warning,
+    )
+
+    with pytest.warns(RuntimeWarning, match="slows down training"):
+        slow_down_warning("PCTrainer.train_on_batch", "is_log_progress", "False")
+
+
+def test_profile_trace_writes_trace(tmp_path):
+    from montecarlopredictivecoding_tpu.utils.observability import profile_trace
+
+    log_dir = str(tmp_path / "trace")
+    with profile_trace(log_dir) as d:
+        x = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+        x.block_until_ready()
+    import pathlib
+
+    files = [p for p in pathlib.Path(d).rglob("*") if p.is_file()]
+    assert files, "profiler trace directory is empty"
+
+
+def _fallback_trainer(energy_coefficient=2.0):
+    gen = mcpc.GenerativeModel(mcpc.make_mlp_model(4, 8, 8, 12), key=0)
+    tr = mcpc.PCTrainer(
+        gen,
+        T=5,
+        optimizer_x_fn="sgd",
+        optimizer_x_kwargs={"lr": 0.01},
+        update_p_at="never",
+        optimizer_p_fn=None,
+        energy_coefficient=energy_coefficient,
+    )
+    return gen, tr
+
+
+def _fallback_batch(tr, **kw):
+    return tr.train_on_batch(
+        jnp.zeros((2, 4)),
+        loss_fn=mcpc.fe_fn,
+        loss_fn_kwargs={"_target": jnp.zeros((2, 12)), "_var": 1.0},
+        **kw,
+    )
+
+
+def test_kernel_fallback_warns_once_per_reason():
+    """use_pallas=True with a kernel-ineligible option must surface the
+    disqualifying option through slow_down_warning — once per reason (the
+    reference warns about slow options on every call; here the slow path is
+    the scan-engine fallback)."""
+    import warnings as w
+
+    _, tr = _fallback_trainer(energy_coefficient=2.0)
+    tr.use_pallas = True
+    with pytest.warns(RuntimeWarning, match="energy_coefficient"):
+        _fallback_batch(tr)
+    # second call, same reason: silent
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        _fallback_batch(tr)
+    assert not [r for r in rec if "scan engine" in str(r.message)]
+    # a different disqualifier warns again
+    def custom_loss(output, _target, _var):
+        return jnp.sum((output - _target) ** 2)
+
+    with pytest.warns(RuntimeWarning, match="unsupported loss_fn"):
+        tr.energy_coefficient = 1.0
+        tr.train_on_batch(
+            jnp.zeros((2, 4)),
+            loss_fn=custom_loss,
+            loss_fn_kwargs={"_target": jnp.zeros((2, 12)), "_var": 1.0},
+        )
+
+
+def test_kernel_fallback_silent_on_cpu_auto():
+    """'auto' on a CPU backend is not a fallback — no warning."""
+    import warnings as w
+
+    _, tr = _fallback_trainer(energy_coefficient=2.0)
+    assert tr.use_pallas == "auto"
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        _fallback_batch(tr)
+    assert not [r for r in rec if "scan engine" in str(r.message)]
