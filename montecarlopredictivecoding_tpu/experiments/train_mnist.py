@@ -105,6 +105,8 @@ def train_mcpc(
     log: bool = True,
     fused: tp.Optional[bool] = None,
     preset: str = "fid",
+    mesh: tp.Optional[int] = None,
+    langevin_var: tp.Optional[float] = 2.0,
 ):
     """MCPC MNIST training: per batch, PC warm start (update_p never) then an
     MCPC chain with the Monte-Carlo-accumulated weight update — the canonical
@@ -113,6 +115,17 @@ def train_mcpc(
     On TPU (``fused=None`` -> auto) the whole per-batch pipeline — Adam MAP
     warm start, Langevin chain, Hebbian gradient accumulation — runs as ONE
     fused Pallas kernel dispatch (ops/pallas_mcpc.py ``warm_T`` phase).
+
+    ``mesh=N`` trains data-parallel over an N-device mesh: every device runs
+    the fused kernel on its batch shard and the per-batch Monte-Carlo weight
+    gradient is reduced with ONE ``psum`` before the replicated Adam step
+    (parallel/fused_dp.py).  Requires the fused path; batches whose size
+    doesn't divide N are skipped (counted and reported).
+
+    ``langevin_var`` is the Langevin noise variance (the reference's
+    ``LangevinStep(var=2.0)``, utils/model.py:121-149); ``None`` disables the
+    noise, turning the chain deterministic — used by the dp==single-device
+    equivalence test, and the knob an ablation would use.
     """
     import jax
 
@@ -120,8 +133,11 @@ def train_mcpc(
     train, _, _ = get_mnist_data(config, seed=seed)
     gen = get_model(config, key=seed)
     if fused is None:
-        fused = jax.default_backend() == "tpu"
+        fused = jax.default_backend() == "tpu" or mesh is not None
+    if mesh is not None and not fused:
+        raise ValueError("mesh training requires the fused kernel path")
 
+    skipped_batches = 0
     if fused:
         import optax
 
@@ -130,6 +146,30 @@ def train_mcpc(
         opt_p = optax.adam(config["optimizer_p_kwargs_mcpc"]["lr"])
         opt_p_state = opt_p.init(gen.params)
         mixing, sampling = config["mixing"], config["sampling"]
+        chain_kwargs = dict(
+            T=mixing + sampling,
+            lr=config["optimizer_x_kwargs_mcpc"]["lr"],
+            noise_var=langevin_var, loss="bernoulli",
+            mixing=mixing, with_pgrads=True,
+            warm_T=config["T_pc"],
+            warm_lr=config["optimizer_x_kwargs_pc"]["lr"],
+            interpret=jax.default_backend() != "tpu",
+        )
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.fused_dp import make_dp_fused_chain
+            from ..parallel.mesh import make_mesh
+
+            mesh_obj = make_mesh(jax.devices()[:mesh], data=mesh, model=1)
+            dp_chain = make_dp_fused_chain(
+                gen.model, mesh_obj, jit_compile=False, **chain_kwargs
+            )
+            repl = NamedSharding(mesh_obj, P())
+            batch_sharding = NamedSharding(mesh_obj, P(None, "data"))
+            gen.params = jax.device_put(gen.params, repl)
+            opt_p_state = jax.device_put(opt_p_state, repl)
 
         def one_batch(params, opt_state, key, data):
             """Full per-batch training step, traceable: latent init, fused
@@ -138,16 +178,15 @@ def train_mcpc(
             pseudo = jnp.zeros((data.shape[0], config["input_size"]))
             latents = gen.model.init_latents(params, pseudo, k_lat)
             seed_val = jax.random.randint(k_seed, (), 0, 2**31 - 1)
-            _, pgrads = mcpc_chain_pallas(
-                params, latents, data, seed_val,
-                T=mixing + sampling,
-                lr=config["optimizer_x_kwargs_mcpc"]["lr"],
-                noise_var=2.0, loss="bernoulli",
-                mixing=mixing, with_pgrads=True,
-                warm_T=config["T_pc"],
-                warm_lr=config["optimizer_x_kwargs_pc"]["lr"],
-                interpret=jax.default_backend() != "tpu",
-            )
+            if mesh is None:
+                _, pgrads = mcpc_chain_pallas(
+                    params, latents, data, seed_val, **chain_kwargs
+                )
+            else:
+                # per-shard kernel + one psum of the Monte-Carlo grads —
+                # pgrads come back as GLOBAL sums, so the normalization
+                # below is identical to the single-device path
+                _, pgrads = dp_chain(params, latents, data, seed_val)
             g = jax.tree_util.tree_map(
                 lambda x: x / (sampling * data.shape[0]), pgrads
             )
@@ -201,6 +240,8 @@ def train_mcpc(
                 ):
                     k = 1
                 stack = jnp.stack(pending[:k])
+                if mesh is not None:
+                    stack = jax.device_put(stack, batch_sharding)
                 gen.params, opt_p_state, key_dev = run_chunk(
                     gen.params, opt_p_state, key_dev, stack
                 )
@@ -210,6 +251,9 @@ def train_mcpc(
             if batches_per_epoch is not None and i >= batches_per_epoch:
                 break
             if fused:
+                if mesh is not None and data.shape[0] % mesh != 0:
+                    skipped_batches += 1  # shard axis must divide the batch
+                    continue
                 pending.append(jnp.asarray(data))
                 if len(pending) >= CHUNK:
                     flush()
@@ -225,7 +269,11 @@ def train_mcpc(
                     pseudo,
                     loss_fn=config["loss_fn"],
                     loss_fn_kwargs={"_target": data},
-                    callback_after_t=mcpc.LangevinStep(var=2.0),
+                    callback_after_t=(
+                        mcpc.LangevinStep(var=langevin_var)
+                        if langevin_var is not None
+                        else None
+                    ),
                     is_sample_x_at_batch_start=False,
                     is_return_results_every_t=False,
                 )
@@ -238,6 +286,11 @@ def train_mcpc(
             print(f"epoch {epoch}: {time.time() - t0:.1f}s")
         if epoch in snapshot_epochs:
             snap(epoch)
+    if skipped_batches and log:
+        print(
+            f"mesh={mesh}: skipped {skipped_batches} batch(es) whose size "
+            f"didn't divide the data axis"
+        )
     if not snapshot_epochs:
         snap(None)
     return gen
@@ -324,6 +377,9 @@ def main():
     p.add_argument("--snapshot-epochs", type=int, nargs="*", default=[])
     p.add_argument("--preset", choices=["fid", "ml", "mse"], default="fid",
                    help="architecture preset matching the reference checkpoint families")
+    p.add_argument("--mesh", type=int, default=None,
+                   help="data-parallel training over an N-device mesh "
+                        "(MCPC only; per-shard fused kernel + one grad psum)")
     args = p.parse_args()
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
 
@@ -335,7 +391,10 @@ def main():
             snapshot_epochs=tuple(args.snapshot_epochs),
             batches_per_epoch=args.batches_per_epoch,
             preset=args.preset,
+            mesh=args.mesh,
         )
+    elif args.mesh is not None:
+        p.error("--mesh is only supported for --model mcpc")
     elif args.model == "pc":
         train_pc(args.epochs, args.out, seed=args.seed,
                  batches_per_epoch=args.batches_per_epoch, preset=args.preset)

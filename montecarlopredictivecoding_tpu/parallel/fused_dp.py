@@ -39,6 +39,7 @@ def make_dp_fused_chain(
     interpret: bool = False,
     axis: str = "data",
     matmul_layout: str = "auto",
+    jit_compile: bool = True,
 ):
     """Build a jitted data-parallel fused chain:
 
@@ -46,6 +47,11 @@ def make_dp_fused_chain(
 
     ``latents``/``target`` shard over ``axis``; params replicate; each shard
     seeds its PRNG with ``fold_in(seed, axis_index)``.
+
+    ``jit_compile=False`` returns the shard-mapped fn un-jitted so a caller
+    can embed it inside a larger jitted program (e.g. the epoch trainer's
+    K-batch ``lax.scan`` chunk, ``experiments/train_mnist.py``) and pay one
+    compile for the whole step instead of one per call.
     """
 
     def shard_body(params, latents, target, seed):
@@ -73,7 +79,7 @@ def make_dp_fused_chain(
         out_specs=(P(axis), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded) if jit_compile else sharded
 
 
 def place_dp(mesh: Mesh, params, latents, target, axis: str = "data"):
