@@ -115,35 +115,46 @@ def test_importance_nll_parity(both_sides):
     """The headline DLGM metric — importance-sampled -ln p(v)
     (reference evaluate.py:65-104) — computed by BOTH implementations on
     the same data with the same trained weights.  The two use independent
-    particle draws, so agreement is statistical: with 256 particles on 32
-    binarized-noise datapoints the estimates land within ~1 nat."""
+    particle draws, so single estimates scatter (measured std ~0.45 nats at
+    P=256); compare MEANS over R=4 seeded draws per side (SE of the
+    difference ~0.3 nats, so the 1-nat gate is >3 sigma) — and seed torch
+    explicitly, or the reference side inherits whatever global-RNG state
+    earlier tests in the process left behind (an in-suite flake seen at
+    round 5: a 1.48-nat single-draw pair)."""
     gen, rec, factor, gm, rm, _, x = both_sides
     x32 = x[:32]
-    P = 256
+    P, R_DRAWS = 256, 4
 
     # reference estimator (mirrors evaluate.py's loop, written independently;
     # evaluate.py:80 scores p(v|z) via -F.binary_cross_entropy — keep its
     # exact -100 clamp semantics, no probability clipping)
     import torch.nn.functional as F
 
-    with torch.no_grad():
-        data = torch.from_numpy(x32).repeat(P, 1)
-        mu, R = rm(data)
-        z = rm.sample(mu, R)
-        recon = gm(z)
-        log_px_z = -F.binary_cross_entropy(recon, data, reduction="none").sum(-1)
-        log_prior = gm.log_prob_prior(z)
-        log_q = rm.log_prob(z, mu, R)
-        log_w = (log_px_z + log_prior - log_q).reshape(P, 32).T
-        ref_nll = float(
-            -(torch.logsumexp(log_w, dim=1) - np.log(P)).sum() / 32
-        )
+    ref_vals = []
+    for seed in range(R_DRAWS):
+        torch.manual_seed(seed)
+        with torch.no_grad():
+            data = torch.from_numpy(x32).repeat(P, 1)
+            mu, R = rm(data)
+            z = rm.sample(mu, R)
+            recon = gm(z)
+            log_px_z = -F.binary_cross_entropy(
+                recon, data, reduction="none"
+            ).sum(-1)
+            log_prior = gm.log_prob_prior(z)
+            log_q = rm.log_prob(z, mu, R)
+            log_w = (log_px_z + log_prior - log_q).reshape(P, 32).T
+            ref_vals.append(
+                float(-(torch.logsumexp(log_w, dim=1) - np.log(P)).sum() / 32)
+            )
 
     dlgm = DLGM(784, 400, int(gen["fc3"]["w"].shape[0]), key=0)
     dlgm.gen_params, dlgm.rec_params = gen, rec
     dlgm.latent_dim_list = [int(gen["fc3"]["w"].shape[0])]
     dlgm.factors = [factor]
-    ours = dlgm.evaluate_importance_nll(
-        [(jnp.asarray(x32), None)], particle_size=P
-    )
-    assert abs(ours - ref_nll) < 1.0, (ours, ref_nll)
+    ours_vals = [
+        dlgm.evaluate_importance_nll([(jnp.asarray(x32), None)], particle_size=P)
+        for _ in range(R_DRAWS)  # next_key() advances: independent draws
+    ]
+    gap = abs(float(np.mean(ours_vals)) - float(np.mean(ref_vals)))
+    assert gap < 1.0, (ours_vals, ref_vals)
