@@ -1,8 +1,11 @@
 from .checkpoint import (
+    dlgm_params_to_torch_state_dict,
     load_checkpoint,
     load_torch_dlgm,
     load_torch_state_dict,
+    params_to_torch_state_dict,
     save_checkpoint,
+    save_torch_state_dict,
     torch_dlgm_state_dict_to_params,
     torch_state_dict_to_params,
 )
@@ -21,6 +24,9 @@ __all__ = [
     "load_torch_dlgm",
     "torch_state_dict_to_params",
     "torch_dlgm_state_dict_to_params",
+    "params_to_torch_state_dict",
+    "save_torch_state_dict",
+    "dlgm_params_to_torch_state_dict",
     "ProgressLogger",
     "energy_absorption_report",
     "plot_progress",

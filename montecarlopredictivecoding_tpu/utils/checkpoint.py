@@ -1,4 +1,6 @@
-"""Checkpointing: native pytree checkpoints + a torch state-dict import shim.
+"""Checkpointing: native pytree checkpoints + torch state-dict import AND
+export shims (interop both ways: the reference's 28 shipped checkpoints load
+here, and models trained here load back into the reference code unchanged).
 
 The reference persists models as ``torch.save(state_dict)`` files with keys
 ``"<module_idx>.weight" / ".bias"`` plus stale ``"<idx>._x"`` latents, always
@@ -93,6 +95,42 @@ def load_torch_state_dict(path: str, model: tp.Optional[PCModel] = None) -> tupl
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return torch_state_dict_to_params(sd, model)
+
+
+def params_to_torch_state_dict(model: PCModel, params) -> dict:
+    """Inverse of :func:`torch_state_dict_to_params` — EXPORT: emit the
+    reference's Sequential key layout (``"<module_idx>.weight"/".bias"``,
+    torch ``[out, in]`` weights) for a params tuple trained here.
+
+    Our ``PCModel`` module lists mirror the reference Sequential
+    module-for-module (``make_mlp_model`` == reference utils/model.py:47-69),
+    so each Linear's position in ``model.modules`` IS its torch module index
+    — checkpoints exported this way load into the reference code unchanged
+    (its loads are ``strict=False``, so the absent stale ``"<i>._x"`` latent
+    entries don't matter)."""
+    import torch
+
+    if len(model.linear_indices) != len(params):
+        raise ValueError(
+            f"params tuple has {len(params)} entries for "
+            f"{len(model.linear_indices)} Linear modules"
+        )
+    sd = {}
+    for idx, p in zip(model.linear_indices, params):
+        sd[f"{idx}.weight"] = torch.from_numpy(
+            np.asarray(p["w"]).T.copy()  # ours [in,out] -> torch [out,in]
+        )
+        if "b" in p:
+            sd[f"{idx}.bias"] = torch.from_numpy(np.asarray(p["b"]).copy())
+    return sd
+
+
+def save_torch_state_dict(path: str, model: PCModel, params) -> None:
+    """Write a reference-loadable torch checkpoint for our trained params."""
+    import torch
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    torch.save(params_to_torch_state_dict(model, params), path)
 
 
 def _t(v) -> jnp.ndarray:
@@ -194,3 +232,44 @@ def load_torch_dlgm(path: str):
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return torch_dlgm_state_dict_to_params(sd)
+
+
+def dlgm_params_to_torch_state_dict(gen_params, rec_params) -> dict:
+    """EXPORT a simple-topology DLGM (one latent level, the
+    GenerativeModel/RecognitionModel pair of generative.py:5-16 /
+    recognition.py:8-32 — the only topology the reference's evaluate.py
+    consumes) in the reference's nested save format
+    (``{"generative_model": sd, "recognition_model": sd}``, evaluate.py:58-60),
+    so a DLGM trained here runs through the reference evaluation unchanged."""
+    import torch
+
+    if "fc3" not in gen_params:
+        raise ValueError(
+            "torch export covers the simple one-level DLGM topology "
+            "(gen_params with fc3/fc4); the stacked zoo has no torch "
+            "consumer in the reference"
+        )
+
+    def w(a):
+        return torch.from_numpy(np.asarray(a).T.copy())
+
+    def b(a):
+        return torch.from_numpy(np.asarray(a).copy())
+
+    net = rec_params["nets"][0]
+    return {
+        "generative_model": {
+            "fc3.weight": w(gen_params["fc3"]["w"]),
+            "fc3.bias": b(gen_params["fc3"]["b"]),
+            "fc4.weight": w(gen_params["fc4"]["w"]),
+            "fc4.bias": b(gen_params["fc4"]["b"]),
+        },
+        "recognition_model": {
+            "fc1.weight": w(net["fc1"]["w"]),
+            "fc1.bias": b(net["fc1"]["b"]),
+            "fc21.weight": w(net["mu"]["w"]),
+            "fc21.bias": b(net["mu"]["b"]),
+            "fc22.weight": w(net["cov"]["w"]),
+            "fc22.bias": b(net["cov"]["b"]),
+        },
+    }
