@@ -78,8 +78,16 @@ class ResNet9State(tp.NamedTuple):
 
 
 def init_resnet9(
-    key, is_mask: bool = False, lr: float = 1e-3, input_hw=(28, 28)
+    key, is_mask: bool = False, lr: float = 1e-3, input_hw=None
 ):
+    """``input_hw=None`` picks the MNIST shape the variant actually
+    consumes: full 28x28, or the bottom-half 14x28 crop for ``is_mask``
+    (the reference feeds `xb[:, :, 14:, :]`-style half images to the
+    768-head masked model, ResNet9.py:41 / figure_2.py:401-403) — an
+    explicit mismatch used to leave the Dense head inited at 2304 wide
+    and crash the first masked train step."""
+    if input_hw is None:
+        input_hw = (14, 28) if is_mask else (28, 28)
     model = ResNet9(is_mask=is_mask)
     dummy = jnp.zeros((1, input_hw[0], input_hw[1], 1))
     variables = model.init(key, dummy, train=False)

@@ -4,6 +4,8 @@ from .checkpoint import (
     load_torch_dlgm,
     load_torch_state_dict,
     params_to_torch_state_dict,
+    resnet9_from_torch_state_dict,
+    resnet9_to_torch_state_dict,
     save_checkpoint,
     save_torch_state_dict,
     torch_dlgm_state_dict_to_params,
@@ -27,6 +29,8 @@ __all__ = [
     "params_to_torch_state_dict",
     "save_torch_state_dict",
     "dlgm_params_to_torch_state_dict",
+    "resnet9_from_torch_state_dict",
+    "resnet9_to_torch_state_dict",
     "ProgressLogger",
     "energy_absorption_report",
     "plot_progress",

@@ -234,6 +234,105 @@ def load_torch_dlgm(path: str):
     return torch_dlgm_state_dict_to_params(sd)
 
 
+# torch module path of each conv_block, in our ResNet9's call order
+# (reference ResNet9.py:30-41 <-> models/resnet9.py ConvBlock_0..7)
+_RESNET9_BLOCKS = (
+    "conv1", "conv2", "res1.0", "res1.1", "conv3", "conv4", "res2.0", "res2.1"
+)
+
+
+def _resnet9_feats_hw(is_mask: bool) -> tp.Tuple[int, int]:
+    """Spatial shape of the pre-flatten feature map on MNIST inputs.
+
+    Full image 28x28: three 2x2 pools + the final MP halve 28 -> 14 -> 7 ->
+    3 -> 1 in both dims.  Masked variant (bottom half, 14x28 and no pool in
+    conv4): rows 14 -> 7 -> 3 -> 3 -> 1, cols 28 -> 14 -> 7 -> 7 -> 3 —
+    hence the reference's 768-wide (256*1*3) head (ResNet9.py:41)."""
+    return (1, 3) if is_mask else (1, 1)
+
+
+def resnet9_from_torch_state_dict(
+    state_dict: tp.Mapping[str, tp.Any], is_mask: bool = False
+):
+    """Convert a torch ResNet-9 state dict (the model reference figure-5
+    users train and save, ResNet9.py:27-53) into our Flax variables
+    ``(params, batch_stats)`` for ``models.resnet9.ResNet9``.
+
+    Layout changes: conv kernels torch ``[out, in, kh, kw]`` -> flax
+    ``[kh, kw, in, out]``; BN weight/bias -> scale/bias with running stats
+    into ``batch_stats``; and the classifier's input ordering is permuted
+    from torch's channel-major (NCHW) flatten to our NHWC flatten — an
+    identity for the full-image head (1x1 spatial) but a real permutation
+    for the 768-wide masked head."""
+
+    def arr(k):
+        v = state_dict[k]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    params: dict = {}
+    stats: dict = {}
+    for i, blk in enumerate(_RESNET9_BLOCKS):
+        name = f"ConvBlock_{i}"
+        params[name] = {
+            "Conv_0": {
+                "kernel": jnp.asarray(arr(f"{blk}.0.weight").transpose(2, 3, 1, 0)),
+                "bias": jnp.asarray(arr(f"{blk}.0.bias")),
+            },
+            "BatchNorm_0": {
+                "scale": jnp.asarray(arr(f"{blk}.1.weight")),
+                "bias": jnp.asarray(arr(f"{blk}.1.bias")),
+            },
+        }
+        stats[name] = {
+            "BatchNorm_0": {
+                "mean": jnp.asarray(arr(f"{blk}.1.running_mean")),
+                "var": jnp.asarray(arr(f"{blk}.1.running_var")),
+            }
+        }
+    h, w = _resnet9_feats_hw(is_mask)
+    cw = arr("classifier.weight")  # [classes, C*h*w] in torch CHW order
+    classes = cw.shape[0]
+    kernel = (
+        cw.reshape(classes, -1, h, w).transpose(0, 2, 3, 1).reshape(classes, -1).T
+    )
+    params["Dense_0"] = {
+        "kernel": jnp.asarray(kernel),
+        "bias": jnp.asarray(arr("classifier.bias")),
+    }
+    return params, stats
+
+
+def resnet9_to_torch_state_dict(params, batch_stats, is_mask: bool = False) -> dict:
+    """EXPORT our Flax ResNet-9 back to the reference's state-dict layout
+    (strict-loadable into ResNet9.py:27-53, ``num_batches_tracked``
+    included)."""
+    import torch
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a).copy())
+
+    sd: dict = {}
+    for i, blk in enumerate(_RESNET9_BLOCKS):
+        name = f"ConvBlock_{i}"
+        conv, bn = params[name]["Conv_0"], params[name]["BatchNorm_0"]
+        run = batch_stats[name]["BatchNorm_0"]
+        sd[f"{blk}.0.weight"] = t(np.asarray(conv["kernel"]).transpose(3, 2, 0, 1))
+        sd[f"{blk}.0.bias"] = t(conv["bias"])
+        sd[f"{blk}.1.weight"] = t(bn["scale"])
+        sd[f"{blk}.1.bias"] = t(bn["bias"])
+        sd[f"{blk}.1.running_mean"] = t(run["mean"])
+        sd[f"{blk}.1.running_var"] = t(run["var"])
+        sd[f"{blk}.1.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+    h, w = _resnet9_feats_hw(is_mask)
+    kernel = np.asarray(params["Dense_0"]["kernel"])  # [h*w*C, classes]
+    classes = kernel.shape[1]
+    sd["classifier.weight"] = t(
+        kernel.T.reshape(classes, h, w, -1).transpose(0, 3, 1, 2).reshape(classes, -1)
+    )
+    sd["classifier.bias"] = t(params["Dense_0"]["bias"])
+    return sd
+
+
 def dlgm_params_to_torch_state_dict(gen_params, rec_params) -> dict:
     """EXPORT a simple-topology DLGM (one latent level, the
     GenerativeModel/RecognitionModel pair of generative.py:5-16 /

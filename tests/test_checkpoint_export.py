@@ -171,3 +171,92 @@ def test_dlgm_export_runs_in_reference_modules():
     np.testing.assert_allclose(ours_probs, ref_probs, atol=1e-6)
     np.testing.assert_allclose(np.asarray(mus[0]), ref_mu.numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(Rs[0]), ref_R.numpy(), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ResNet-9 shim (import AND export)
+
+
+def _torch_resnet9(is_mask):
+    """The ACTUAL reference model class (ResNet9.py:12-53), extracted by
+    AST so the file's module-level imports (utils.data -> torchvision,
+    absent in this image) never execute — the class bodies run verbatim."""
+    import ast
+
+    src = open(os.path.join(REF, "ResNet9.py")).read()
+    tree = ast.parse(src)
+    wanted = [
+        n for n in tree.body
+        if isinstance(n, (ast.ClassDef, ast.FunctionDef))
+        and n.name in ("Mish", "conv_block", "ResNet9")
+    ]
+    ns = {"nn": torch.nn, "torch": torch, "F": torch.nn.functional}
+    exec(
+        compile(ast.Module(body=wanted, type_ignores=[]), "ResNet9.py", "exec"),
+        ns,
+    )
+    torch.manual_seed(0)
+    m = ns["ResNet9"](in_channels=1, num_classes=10, is_mask=is_mask)
+    m.eval()
+    return m
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.path.join(REF, "ResNet9.py")),
+    reason="reference checkout not available",
+)
+@pytest.mark.parametrize("is_mask", [False, True])
+def test_resnet9_import_forward_parity(is_mask):
+    """torch ResNet-9 state dict -> our Flax variables: same eval-mode
+    logits (covers the conv/BN layout transposes and, for the masked
+    variant's 768-wide head, the NCHW->NHWC flatten permutation)."""
+    from montecarlopredictivecoding_tpu.models.resnet9 import ResNet9
+    from montecarlopredictivecoding_tpu.utils import (
+        resnet9_from_torch_state_dict,
+    )
+
+    tm = _torch_resnet9(is_mask)
+    params, stats = resnet9_from_torch_state_dict(tm.state_dict(), is_mask)
+
+    h = 14 if is_mask else 28
+    x = np.random.default_rng(0).standard_normal((4, 1, h, 28)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tm(torch.from_numpy(x)).numpy()
+    model = ResNet9(is_mask=is_mask)
+    ours = np.asarray(
+        model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),  # NCHW -> NHWC
+            train=False,
+        )
+    )
+    np.testing.assert_allclose(ours, ref_logits, atol=2e-4)
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.path.join(REF, "ResNet9.py")),
+    reason="reference checkout not available",
+)
+@pytest.mark.parametrize("is_mask", [False, True])
+def test_resnet9_export_strict_load_and_round_trip(is_mask):
+    """Our Flax ResNet-9, exported, strict-loads into the reference model;
+    import of the export reproduces our variables bit-for-bit."""
+    from montecarlopredictivecoding_tpu.models.resnet9 import init_resnet9
+    from montecarlopredictivecoding_tpu.utils import (
+        resnet9_from_torch_state_dict,
+        resnet9_to_torch_state_dict,
+    )
+
+    _, _, state = init_resnet9(jax.random.PRNGKey(2), is_mask=is_mask)
+    sd = resnet9_to_torch_state_dict(state.params, state.batch_stats, is_mask)
+    tm = _torch_resnet9(is_mask)
+    tm.load_state_dict(sd)  # strict: every key must match exactly
+
+    p_back, s_back = resnet9_from_torch_state_dict(sd, is_mask)
+    flat = jax.tree_util.tree_leaves_with_path
+    for (ka, a), (kb, b) in zip(flat(state.params), flat(p_back)):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for (ka, a), (kb, b) in zip(flat(state.batch_stats), flat(s_back)):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

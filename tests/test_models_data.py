@@ -154,3 +154,17 @@ def test_resnet9_masked_variant():
     model, tx, state = init_resnet9(key, is_mask=True, input_hw=(14, 28))
     logits = make_eval_fn(model)(state, jnp.zeros((2, 14, 28, 1)))
     assert logits.shape == (2, 10)
+
+
+def test_resnet9_masked_training_end_to_end():
+    """Regression: train_resnet9(is_mask=True) used to init the Dense head
+    on the FULL 28x28 shape (2304 wide) and crash on the first 14x28
+    bottom-half batch (768 wide) — init_resnet9's default input_hw now
+    follows the variant."""
+    from montecarlopredictivecoding_tpu.models.resnet9 import train_resnet9
+
+    rng = np.random.default_rng(0)
+    batch = (rng.random((8, 784)).astype(np.float32),
+             np.arange(8, dtype=np.int32) % 10)
+    _, state = train_resnet9([batch], epochs=1, is_mask=True)
+    assert state.params["Dense_0"]["kernel"].shape == (768, 10)
