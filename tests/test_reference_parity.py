@@ -411,3 +411,40 @@ def test_masked_loss_trajectory_parity(bernoulli):
         np.asarray(res_j["loss"]), np.asarray(res_t["loss"]), rtol=1e-4,
         atol=1e-6,
     )
+
+
+def test_schedule_parser_differential_fuzz():
+    """parse_schedule == the reference's _preprocess_step_index_list
+    (pc_trainer.py:1068-1108) over every string spec and random index
+    lists, for T = 1..20.  The reference returns lists in given order and
+    only ever uses them for membership tests; ours normalizes to a sorted
+    tuple — compare as sets.  Error behavior must agree too: unknown
+    strings and out-of-range indices both raise."""
+    import random
+
+    ref_pc = _ref_modules()
+    ref_parse = ref_pc.PCTrainer._preprocess_step_index_list
+
+    rng = random.Random(0)
+    schedule = __import__(
+        "montecarlopredictivecoding_tpu.core.schedule", fromlist=["parse_schedule"]
+    )
+    for T in range(1, 21):
+        for spec in ("all", "last", "last_half", "never"):
+            ours = schedule.parse_schedule(spec, T)
+            ref = ref_parse(None, indices=spec, T=T)
+            assert sorted(ours) == sorted(ref), (spec, T, ours, ref)
+        for _ in range(8):
+            lst = [rng.randrange(T) for _ in range(rng.randrange(0, 2 * T))]
+            ours = schedule.parse_schedule(list(lst), T)
+            ref = ref_parse(None, indices=list(lst), T=T)
+            assert set(ours) == set(ref), (lst, T)
+
+    with pytest.raises(ValueError):
+        schedule.parse_schedule("sometimes", 4)
+    with pytest.raises(NotImplementedError):
+        ref_parse(None, indices="sometimes", T=4)
+    with pytest.raises(ValueError):
+        schedule.parse_schedule([4], 4)
+    with pytest.raises(AssertionError):
+        ref_parse(None, indices=[4], T=4)
