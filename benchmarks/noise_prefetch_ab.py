@@ -104,3 +104,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+    print("NOISE_AB_DONE")

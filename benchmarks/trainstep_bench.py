@@ -59,3 +59,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+    print("TRAINSTEP_BENCH_DONE")
