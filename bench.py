@@ -7,8 +7,13 @@ Langevin steps (grad + N(0, 2*lr) noise) — identical math to the reference's
 ``random_step`` MCPC loop (utils/model.py:35-44).
 
 Engine: the fused whole-chain Pallas kernel (ops/pallas_mcpc.py) — weights,
-latents and RNG stay in VMEM for all T steps.  Timing includes dispatch and
-host readback (one call = one full chain), median of 5.
+latents and RNG stay in VMEM for all T steps.  Headline timing is the
+CHIP-RATE: the marginal per-chain time between K=5 and K=1 chains scanned
+inside one dispatch (min-of-N each), which cancels the tunnel's fixed
+~29 ms dispatch+readback artifact (CLAUDE.md measurement rule).  The
+dispatch-inclusive single-chain number is reported alongside in
+BENCH_DETAIL.md; if the marginal is unreliable (tunnel jitter swamps the
+K-spread on all retries) the headline falls back to it.
 
 Baseline: the reference PyTorch implementation on CPU measured with
 benchmarks/measure_reference.py on this machine (147.6 steps/sec at batch
@@ -227,11 +232,40 @@ def main():
 
         return run
 
+    def make_chain_scan(batch, k, bf16=False):
+        """K independent T-step chains scanned inside ONE dispatch (distinct
+        seeds), one readback.  The marginal per-chain time between two k
+        values cancels the tunnel's fixed ~29 ms dispatch+readback — the
+        chip-rate a user on local TPU hardware actually gets (CLAUDE.md:
+        never judge per-step cost from a single tunneled dispatch)."""
+        latents, target = make_inputs(batch)
+
+        @jax.jit
+        def run_k(seed0):
+            def body(acc, i):
+                out, _ = mcpc_chain_pallas(
+                    params, latents, target, seed0 + i,
+                    T=T, lr=0.01, noise_var=2.0, loss="bernoulli",
+                    packed=True, bf16_matmul=bf16,
+                )
+                return acc + out[0][0, 0] + out[2][0, 0], None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros(()), jnp.arange(k, dtype=jnp.int32)
+            )
+            return acc
+
+        def run(seed):
+            return (float(run_k(jnp.int32(seed))),)
+
+        return run
+
     detail = []
     _log("# BENCH_DETAIL — fused-kernel benchmark (single chip)", detail)
     _log("", detail)
-    _log(f"Model {DIMS}, packed widths xw={XW} ow={OW}; median of 5, timing", detail)
-    _log("includes dispatch + host readback over the tunneled chip.", detail)
+    _log(f"Model {DIMS}, packed widths xw={XW} ow={OW}.  Single-dispatch", detail)
+    _log("timings (median of 5) include dispatch + host readback over the", detail)
+    _log("tunneled chip; marginal rows cancel that fixed ~29 ms artifact.", detail)
     _log("", detail)
 
     # ---- headline: inference chain at B=256, f32 ---------------------------
@@ -278,10 +312,45 @@ def main():
     chain_flops = T * 2 * 2.0 * BATCH * USEFUL
     _log("## Headline — Langevin inference chain (B=256, T=10000, f32)", detail)
     _log("", detail)
-    _log(f"- {steps_per_sec:,.1f} steps/s ({dt * 1e3:.1f} ms/chain, "
-         f"{dt / T * 1e6:.2f} us/step)", detail)
-    _log(f"- {chain_flops / dt / 1e12:.2f} useful TFLOP/s = "
-         f"{chain_flops / dt / PEAK_FLOPS * 100:.1f}% useful-MFU (vs bf16 peak)", detail)
+    dt_chip = None
+    if not engine_fallback:
+        # chip-rate: marginal per chain from K=5 vs K=1 chains per dispatch.
+        # A single T=10000 dispatch is ~60 ms of which ~29 ms is the fixed
+        # tunnel dispatch+readback — a harness artifact local hardware
+        # doesn't pay.  Guarded: a marginal implying >75% useful-MFU means
+        # tunnel jitter swamped the K-spread; retry, then fall back to the
+        # dispatch-inclusive number.
+        try:
+            K_HI = 5
+            run1 = make_chain_scan(BATCH, 1)
+            runK = make_chain_scan(BATCH, K_HI)
+            run1(1), runK(1)
+            for _attempt in range(3):
+                m = (_min_time(runK, reps=5) - _min_time(run1, reps=5)) / (
+                    K_HI - 1
+                )
+                if m > 0 and chain_flops / m <= 0.75 * PEAK_FLOPS:
+                    dt_chip = m
+                    break
+        except Exception as e:
+            _log(f"(chip-rate marginal failed: {type(e).__name__}: {e})",
+                 detail)
+    if dt_chip is not None:
+        steps_per_sec = T / dt_chip
+        _log(f"- {steps_per_sec:,.1f} steps/s chip-rate "
+             f"({dt_chip * 1e3:.1f} ms/chain, "
+             f"{dt_chip / T * 1e6:.2f} us/step; K-chain marginal, fixed "
+             "tunnel dispatch+readback cancelled)", detail)
+        _log(f"- single dispatch incl. tunnel dispatch+readback: "
+             f"{T / dt:,.1f} steps/s ({dt * 1e3:.1f} ms/chain)", detail)
+        _log(f"- {chain_flops / dt_chip / 1e12:.2f} useful TFLOP/s = "
+             f"{chain_flops / dt_chip / PEAK_FLOPS * 100:.1f}% useful-MFU "
+             "(vs bf16 peak)", detail)
+    else:
+        _log(f"- {steps_per_sec:,.1f} steps/s ({dt * 1e3:.1f} ms/chain, "
+             f"{dt / T * 1e6:.2f} us/step)", detail)
+        _log(f"- {chain_flops / dt / 1e12:.2f} useful TFLOP/s = "
+             f"{chain_flops / dt / PEAK_FLOPS * 100:.1f}% useful-MFU (vs bf16 peak)", detail)
     _log(f"- engine fallback: {engine_fallback}", detail)
     _log("", detail)
 
