@@ -122,8 +122,16 @@ def main():
                     f"({type(e).__name__}: {e}) | | | | | |")
                 continue
             flops = 2 * 2.0 * B * USEFUL  # per step, fwd+bwd useful matmul
+            # with loss='none' the sensory layer (the model's LARGEST
+            # matmul, d2*d3 of USEFUL) is dead code and eliminated, so the
+            # bare variant's own useful work excludes it
+            bare_useful = sum(
+                a * b for a, b in zip(DIMS[:-2], DIMS[1:-1])
+            )
             mfu_full = flops / (full * 1e-6) / PEAK_FLOPS
-            mfu_bare = flops / (bare * 1e-6) / PEAK_FLOPS
+            mfu_bare = (
+                2 * 2.0 * B * bare_useful / (bare * 1e-6) / PEAK_FLOPS
+            )
             log(
                 f"| {B} | {'bf16' if bf16 else 'f32'} "
                 f"| {full:.2f} us | {full - no_noise:+.2f} us "
@@ -131,10 +139,13 @@ def main():
                 f"| {mfu_full * 100:.1f}% | {mfu_bare * 100:.1f}% |"
             )
     log("")
-    log("Interpretation: 'noise' = Box-Muller + masked add; 'loss' = the")
-    log("sensory sigmoid/BCE gradient + its backward matmul contribution;")
-    log("'bare' = forward/backward matmuls + energy grads + SGD update —")
-    log("the matmul-bound floor the other components stack on.")
+    log("Interpretation: 'noise' = Box-Muller + masked add (pure VPU);")
+    log("'loss' = the sensory layer's forward + backward matmuls (the")
+    log("model's largest, 128x784 — loss='none' eliminates them as dead")
+    log("code) plus the sigmoid/BCE gradient; 'bare' = the latent-layer")
+    log("matmuls + energy grads + SGD update.  MFU columns divide each")
+    log("variant's OWN useful FLOPs (full: all layers; bare: latent")
+    log("layers only).")
 
     with open(os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.md"),
               "w") as f:
