@@ -214,9 +214,16 @@ class PCTrainer:
         # path is results-compatible with the engine (set False to force the
         # scan engine for captures).
         self.use_pallas_capture: bool = True
-        # 'auto': run the kernel's MXU matmuls in bfloat16 (f32 accumulate,
-        # f32 state) once the batch is wide enough to be compute-bound;
-        # True/False force/disable.
+        # 'auto': keep every kernel matmul f32.  The round-5 hardware A/B
+        # (BF16_AB.md: 9 interleaved marginal fits per cell) found bf16
+        # separates NOWHERE on this workload — 5/9 paired wins and +2-3%
+        # median at B in {256, 1024}, inside the tunnel noise floor and
+        # below the pre-registered adoption rule (>=7/9 wins AND >=5%).
+        # ROOFLINE.md explains why: at B>=1024 the per-step cost is
+        # dominated by VPU terms (Box-Muller noise + sensory loss
+        # gradient); the matmul floor bf16 can shrink is ~16-30% of the
+        # step, bounding its best case under the threshold.  An explicit
+        # True still opts in (f32 accumulate, f32 state).
         self.use_pallas_bf16: tp.Union[str, bool] = "auto"
         # kernel-fallback observability (the reference's slow-option-warning
         # role, predictive_coding/utils.py:8-16): when a dispatch that could
@@ -593,21 +600,14 @@ class PCTrainer:
             phase = dict(T=self.T, lr=lr_eff, noise_var=langevin_var)
         bf16 = self.use_pallas_bf16
         if bf16 == "auto":
-            # bf16 MXU pays off only when the dispatch is matmul-bound: the
-            # Adam MAP descent at wide batch (BENCH_DETAIL r3: +28% at
-            # B=1024). Langevin chains are VPU/noise-bound and bf16's
-            # per-step activation conversions make them net slower at every
-            # batch size — they stay f32 (which also keeps kernel-vs-engine
-            # parity exact).
-            bf16 = (
-                on_tpu
-                and inputs.shape[0] >= 1024
-                and dispatch["mode"] == "warm"
-                # per-step scalar curves are metric output: keep the whole
-                # dispatch f32 rather than report bf16-rounded loss/energy
-                # rows (an explicit use_pallas_bf16=True still opts in)
-                and not dispatch.get("scalar_stride")
-            )
+            # Settled by measurement (BF16_AB.md, round 5): bf16 fails the
+            # pre-registered adoption rule at every measured batch size
+            # (5/9 paired wins, +2-3% median — tunnel noise floor), so
+            # 'auto' is f32 everywhere.  The round-3 "+28% at B=1024"
+            # heuristic this replaced was a single-run marginal fit — noise
+            # (the three instruments at B=1024 read x0.95, x1.06 and
+            # x1.02).  Explicit use_pallas_bf16=True still opts in.
+            bf16 = False
         output_pc = dispatch.get("output_var") is not None
         outs = mcpc_chain_pallas(
             gen.params,
