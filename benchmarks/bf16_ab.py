@@ -36,6 +36,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=9)
     ap.add_argument("--batches", default="256,1024")
+    ap.add_argument("--out", default="BF16_AB.md",
+                    help="report filename (repo root); use e.g. "
+                    "BF16_AB_4096.md to keep a landed report intact")
     args = ap.parse_args()
     assert jax.default_backend() == "tpu", jax.default_backend()
 
@@ -122,10 +125,10 @@ def main():
 
     out = "\n".join(lines) + "\n"
     print(out)
-    with open(os.path.join(os.path.dirname(__file__), "..", "BF16_AB.md"),
+    with open(os.path.join(os.path.dirname(__file__), "..", args.out),
               "w") as f:
         f.write(out)
-    print("wrote BF16_AB.md")
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

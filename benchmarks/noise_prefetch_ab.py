@@ -10,9 +10,16 @@ sqrt(q) as q*rsqrt(q+1e-38) — a few-ulp identity, checked against the
 default to 1e-4 after a short chain.  Times every variant as a marginal
 between two chain lengths at each batch size.
 
-Run on the TPU: python benchmarks/noise_prefetch_ab.py
+Run on the TPU: python benchmarks/noise_prefetch_ab.py [--batches 256,1024,4096]
+
+Flap-resumable: each batch row prints its own NOISE_AB_ROW_B{B}_DONE
+marker and a row failure (e.g. a garbage readback when the tunnel flaps
+mid-run — observed 04:47 UTC 2026-08-19 as a NaN right as the backend
+probe started failing) only skips that row, so landed rows survive and a
+re-run can target the missing batches.
 """
 
+import argparse
 import os
 import sys
 import time
@@ -39,6 +46,10 @@ VARIANTS = (
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="256,1024,4096")
+    args = ap.parse_args()
+    batches = [int(b) for b in args.batches.split(",")]
     assert jax.default_backend() == "tpu", jax.default_backend()
     key = jax.random.PRNGKey(0)
     model = mcpc.make_mlp_model(*DIMS)
@@ -76,7 +87,12 @@ def main():
     def marginal(B, opts, T_lo=2000, T_hi=10000, reps=5):
         def once(T, seed):
             out = run(B, T, opts, seed)
-            assert float(out[0][0, 0]) == float(out[0][0, 0])
+            v = float(out[0][0, 0])
+            if v != v:
+                raise ValueError(
+                    f"NaN readback at B={B} opts={opts} T={T} — garbage "
+                    "from a mid-run tunnel flap, or a real kernel blow-up"
+                )
 
         once(T_lo, 1), once(T_hi, 1)  # compile
         ts = {T_lo: [], T_hi: []}
@@ -89,17 +105,26 @@ def main():
 
     print("| batch | " + " | ".join(n for n, _ in VARIANTS) + " |")
     print("|---" * (len(VARIANTS) + 1) + "|")
-    for B in (256, 1024, 4096):
-        row = [f"| {B} "]
-        base = None
-        for name, opts in VARIANTS:
-            m = marginal(B, opts)
-            if base is None:
-                base = m
-                row.append(f"| {m:.2f} us ")
-            else:
-                row.append(f"| {m:.2f} us (x{base / m:.3f}) ")
-        print("".join(row) + "|", flush=True)
+    ok = True
+    for B in batches:
+        try:
+            row = [f"| {B} "]
+            base = None
+            for name, opts in VARIANTS:
+                m = marginal(B, opts)
+                if base is None:
+                    base = m
+                    row.append(f"| {m:.2f} us ")
+                else:
+                    row.append(f"| {m:.2f} us (x{base / m:.3f}) ")
+            print("".join(row) + "|", flush=True)
+            print(f"NOISE_AB_ROW_B{B}_DONE", flush=True)
+        except Exception as e:
+            ok = False
+            print(f"NOISE_AB_ROW_B{B} FAILED: {type(e).__name__}: {e}",
+                  flush=True)
+    if not ok:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -11,7 +11,7 @@ done
 # outage/recovery trail (probe failures, relay-refused heartbeats, recovery)
 [ -e /tmp/tpu_watch5.log ] && cp /tmp/tpu_watch5.log hw_transcripts/r5/r5_watchdog.log
 PATHS="hw_transcripts/r5"
-for f in BENCH_DETAIL.md ROOFLINE.md BF16_AB.md; do
+for f in BENCH_DETAIL.md ROOFLINE.md BF16_AB.md BF16_AB_4096.md NOISE_AB.md; do
   [ -e "$f" ] && PATHS="$PATHS $f";
 done
 git add -- $PATHS 2>/dev/null  # new transcripts must be tracked to commit
