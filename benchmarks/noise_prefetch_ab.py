@@ -6,9 +6,12 @@ it CONSUMES the same PRNG draw sequence, so final latents match the default
 loop up to compiler fp-reassociation (bitwise if Mosaic schedules the carry
 identically; <=1e-6-scale otherwise — CPU-interpret parity in
 tests/test_pallas_noise.py measured <=1e-6 after 20 steps).  rsqrt computes
-sqrt(q) as q*rsqrt(q+1e-38) — a few-ulp identity, checked against the
-default to 1e-4 after a short chain.  Times every variant as a marginal
-between two chain lengths at each batch size.
+sqrt(q) as q*rsqrt(max(q, 1e-30)) — a few-ulp identity guarded by a NORMAL
+f32 floor (the round-4 additive 1e-38 pad was denormal, hence flushed to
+zero by the TPU VPU: every u1=1 draw went 0*rsqrt(0)=NaN on long chains —
+the 05:20 UTC 2026-08-19 row failures).  Checked against the default to
+1e-4 after a short chain.  Times every variant as a marginal between two
+chain lengths at each batch size.
 
 Run on the TPU: python benchmarks/noise_prefetch_ab.py [--batches 256,1024,4096]
 

@@ -351,6 +351,16 @@ def _uniforms(shape, mock=None):
     return 2.0 - f1, f2 - 1.0
 
 
+# Floor for the noise_rsqrt radius guard: q*rsqrt(max(q, FLOOR)).  MUST be a
+# normal f32 (>= ~1.18e-38): the TPU VPU flushes denormals to zero, so a
+# subnormal guard silently disappears on hardware and u1=1 draws (q=0, one
+# in 2^23) produce 0*rsqrt(0) = NaN.  1e-30 is far below the smallest
+# nonzero q (~2.4e-7), so the max() is exact for every nonzero draw.
+# tests/test_pallas_noise.py::test_rsqrt_floor_survives_denormal_flush pins
+# both properties.
+_BM_RSQRT_FLOOR = 1e-30
+
+
 def _sigmoid(x):
     """``sigmoid(x)`` via the exact identity ``0.5 + 0.5*tanh(x/2)``.
 
@@ -747,11 +757,17 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 # rounding difference in f32 (same order as the sincos
                 # polynomial's 5e-7) — candidate VPU saving when the
                 # hardware rsqrt beats sqrt (vpu_op_bench: sqrt 0.36 us/tile).
-                # u1 = 1 gives q = 0 where bare rsqrt is inf (0*inf = nan);
-                # the 1e-38 pad turns that draw into an exact 0 (the value
-                # sqrt would produce) and perturbs the smallest nonzero q
-                # (~2.4e-7) by < 1e-30 relative.
-                r = q * jax.lax.rsqrt(q + 1e-38)
+                # u1 = 1 gives q = 0 where bare rsqrt is inf (0*inf = nan).
+                # The guard must be max() against a NORMAL f32 constant: an
+                # additive 1e-38 pad (the round-4 version) is below f32
+                # min-normal (~1.18e-38) and the TPU VPU flushes denormals
+                # to zero, so on hardware the pad vanished and every u1=1
+                # draw produced 0*rsqrt(0) = NaN (p=2^-23 per draw — certain
+                # over T=1e4 wide-batch chains; the 05:20 UTC 2026-08-19
+                # NOISE_AB_ROW failures).  max(q, _BM_RSQRT_FLOOR) is exact
+                # for every nonzero q (min nonzero ~2.4e-7) and maps q=0 to
+                # 0*1e15=0, the value sqrt would produce.
+                r = q * jax.lax.rsqrt(jnp.maximum(q, _BM_RSQRT_FLOOR))
             else:
                 r = jnp.sqrt(q)
             c, s = _sincos_2pi(u2)

@@ -24,6 +24,7 @@ import pytest
 import montecarlopredictivecoding_tpu as mcpc
 from montecarlopredictivecoding_tpu.ops import mcpc_chain_pallas
 from montecarlopredictivecoding_tpu.ops.pallas_mcpc import (
+    _BM_RSQRT_FLOOR,
     _mock_bits,
     _normals,
     _uniforms,
@@ -169,6 +170,35 @@ def test_noise_rsqrt_radius_identity(mlp_setup, T):
     for a, b in zip(jax.tree_util.tree_leaves(base),
                     jax.tree_util.tree_leaves(rs)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_rsqrt_floor_survives_denormal_flush():
+    """Regression for the round-5 hardware NaN: the rsqrt radius guard must
+    be a max() against a NORMAL f32 — the TPU VPU flushes denormals to zero,
+    so the round-4 additive 1e-38 pad (subnormal: below f32 min-normal)
+    vanished on hardware and every u1=1 draw (q=0, p=2^-23) went
+    0*rsqrt(0) = NaN on long wide-batch chains.  CPU honors denormals, which
+    is why the kernel parity tests alone could not catch it; this pins the
+    two properties the guard needs on hardware."""
+    tiny = np.finfo(np.float32).tiny  # smallest NORMAL f32
+    # 1. the floor survives flush-to-zero (is a normal f32)
+    assert np.float32(_BM_RSQRT_FLOOR) >= tiny
+    # 2. exactness: the floor never perturbs a representable nonzero q.
+    #    u1 ranges over {k*2^-23, k=1..2^23}; the largest u1 below 1 gives
+    #    the smallest nonzero q = -2*ln(1 - 2^-23) ~ 2.4e-7.
+    q_min = np.float32(-2.0 * np.log1p(-(2.0 ** -23)))
+    assert np.float32(_BM_RSQRT_FLOOR) < q_min
+    # 3. the guarded identity at the endpoints and across the q range,
+    #    exactly as the kernel computes it (f32 lax ops)
+    q = jnp.asarray(
+        [0.0, float(q_min), 1e-3, 1.0, -2.0 * np.log(2.0 ** -23)],
+        jnp.float32,
+    )
+    r = q * jax.lax.rsqrt(jnp.maximum(q, _BM_RSQRT_FLOOR))
+    r = np.asarray(r)
+    assert np.isfinite(r).all()
+    assert r[0] == 0.0  # the q=0 draw maps to 0, the sqrt value
+    np.testing.assert_allclose(r, np.sqrt(np.asarray(q)), rtol=3e-7)
 
 
 # ----------------------------------------------------------- semantics legs
