@@ -278,29 +278,10 @@ def main():
         assert d.max() < 0.2, f"warm continuation: max abs diff {d.max():.3f}"
     print("warm continuation OK (2x20 == 1x40 on hardware, quantile gate)")
 
-    # 13) noise-path scheduling variants on hardware (pre-warms their Mosaic
-    # compiles for benchmarks/noise_prefetch_ab.py): prefetch consumes the
-    # same PRNG draws (<=1e-5 tolerance: bitwise unless the compiler
-    # re-fuses the carry — see noise_prefetch_ab.py), rsqrt is a few-ulp
-    # radius identity (T odd to cover the epilogue draw)
-    params13, latents13, target13 = setup("relu", B=256)
-    ref13, _ = mcpc_chain_pallas(
-        params13, latents13, target13, jnp.int32(17), T=31, lr=0.02,
-        noise_var=2.0, loss="bernoulli",
-    )
-    pf13, _ = mcpc_chain_pallas(
-        params13, latents13, target13, jnp.int32(17), T=31, lr=0.02,
-        noise_var=2.0, loss="bernoulli", noise_prefetch=True,
-    )
-    for x, y in zip(ref13, pf13):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
-    rs13, _ = mcpc_chain_pallas(
-        params13, latents13, target13, jnp.int32(17), T=31, lr=0.02,
-        noise_var=2.0, loss="bernoulli", noise_rsqrt=True,
-    )
-    for x, y in zip(ref13, rs13):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
-    print("noise variants OK (prefetch <=1e-5, rsqrt <=1e-4, T=31)")
+    # (A former leg 13 gated two alternative noise schedulings,
+    # noise_prefetch/noise_rsqrt; both were deleted after the round-5
+    # hardware A/B showed the plain loop faster at every batch —
+    # hw_transcripts/r5/r5_prefetch_fixed.log, EVAL_r5.md item 5.)
 
     print("KERNEL_SANITY_PASS")
 

@@ -293,9 +293,9 @@ def _mock_bits(shape, seed, draw):
     rounds over a Weyl-style combination.  It is NOT the hardware stream,
     but it is deterministic, well-mixed (passes the stationary Langevin
     noise-law check at the tolerances of tests/test_pallas_noise.py), and
-    — crucially — draw-indexed: two kernel schedulings that CONSUME the
-    same (seed, draw) sequence produce bitwise-identical noise, which is
-    what the CPU parity tests for ``noise_prefetch``/``noise_rsqrt`` need.
+    — crucially — draw-indexed: the noise is a pure function of
+    (seed, draw, element index), which is what the deterministic CPU noise
+    tests (tests/test_pallas_noise.py) need.
     """
     rows, cols = shape
     idx = (
@@ -349,16 +349,6 @@ def _uniforms(shape, mock=None):
         jnp.float32,
     )
     return 2.0 - f1, f2 - 1.0
-
-
-# Floor for the noise_rsqrt radius guard: q*rsqrt(max(q, FLOOR)).  MUST be a
-# normal f32 (>= ~1.18e-38): the TPU VPU flushes denormals to zero, so a
-# subnormal guard silently disappears on hardware and u1=1 draws (q=0, one
-# in 2^23) produce 0*rsqrt(0) = NaN.  1e-30 is far below the smallest
-# nonzero q (~2.4e-7), so the max() is exact for every nonzero draw.
-# tests/test_pallas_noise.py::test_rsqrt_floor_survives_denormal_flush pins
-# both properties.
-_BM_RSQRT_FLOOR = 1e-30
 
 
 def _sigmoid(x):
@@ -449,8 +439,6 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         layout: str = "blockdiag",
                         scalar_stride: int = 0,
                         warm_init: bool = False,
-                        noise_prefetch: bool = False,
-                        noise_rsqrt: bool = False,
                         interpret: bool = False):
     """Aligned-packed chain kernel; see the module docstring for layout and
     matmul-strategy notes.  ``interpret`` switches the noise source to the
@@ -752,24 +740,17 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
             two costliest ops in the whole step."""
             u1, u2 = _uniforms(shape, mock)
             q = -2.0 * jnp.log(u1)
-            if noise_rsqrt:
-                # sqrt(q) = q * rsqrt(q): exact identity in reals, a few-ulp
-                # rounding difference in f32 (same order as the sincos
-                # polynomial's 5e-7) — candidate VPU saving when the
-                # hardware rsqrt beats sqrt (vpu_op_bench: sqrt 0.36 us/tile).
-                # u1 = 1 gives q = 0 where bare rsqrt is inf (0*inf = nan).
-                # The guard must be max() against a NORMAL f32 constant: an
-                # additive 1e-38 pad (the round-4 version) is below f32
-                # min-normal (~1.18e-38) and the TPU VPU flushes denormals
-                # to zero, so on hardware the pad vanished and every u1=1
-                # draw produced 0*rsqrt(0) = NaN (p=2^-23 per draw — certain
-                # over T=1e4 wide-batch chains; the 05:20 UTC 2026-08-19
-                # NOISE_AB_ROW failures).  max(q, _BM_RSQRT_FLOOR) is exact
-                # for every nonzero q (min nonzero ~2.4e-7) and maps q=0 to
-                # 0*1e15=0, the value sqrt would produce.
-                r = q * jax.lax.rsqrt(jnp.maximum(q, _BM_RSQRT_FLOOR))
-            else:
-                r = jnp.sqrt(q)
+            # Radius via plain sqrt: the round-5 hardware A/B
+            # (hw_transcripts/r5/r5_prefetch_fixed.log) timed two
+            # alternative schedulings — a software-pipelined prefetch and a
+            # q*rsqrt(q) radius — and the plain loop won at every batch
+            # (variants x0.69-0.98); both were deleted.  ROOFLINE.md shows
+            # the noise path already runs at the VPU's issue rate.  If a
+            # guarded-rsqrt form ever returns: the guard must be a max()
+            # against a NORMAL f32 — the VPU flushes denormals, so an
+            # additive 1e-38 pad silently vanishes on hardware and u1=1
+            # draws (q=0) produce 0*rsqrt(0) = NaN.
+            r = jnp.sqrt(q)
             c, s = _sincos_2pi(u2)
             return (
                 jnp.where(mask, r * c, 0.0),
@@ -967,8 +948,8 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                 def gen_pair(p):
                     # p = pair index; consulted only in interpret mode (the
                     # hardware PRNG is sequential) — it keys the mock draws
-                    # so scheduling variants that consume the same pair
-                    # sequence get bitwise-identical noise
+                    # so the draw sequence is a pure function of the pair
+                    # index (deterministic CPU noise tests)
                     base = None
                     if interpret:
                         base = jnp.asarray(p, jnp.int32) * draws_per_pair
@@ -985,58 +966,25 @@ def _make_packed_kernel(T: int, mixing: int, lr: float, noise_std: float,
                         z3a = z3b = None
                     return za, zb, z3a, z3b
 
-                if noise_prefetch:
-                    # software-pipelined variant: the NEXT pair's Box-Muller
-                    # (pure VPU, independent of the chain state) is issued
-                    # before this pair's steps, giving the scheduler license
-                    # to overlap it with the steps' MXU matmuls.  The draws
-                    # CONSUMED match the non-prefetch loop draw-for-draw
-                    # (same PRNG stream order); results agree to compiler
-                    # fp-reassociation rounding only — the loop carry
-                    # materializes values the inline variant lets the
-                    # compiler fuse (<=1e-6 after 20 steps,
-                    # tests/test_pallas_noise.py).  For even T the final
-                    # iteration's carry is generated and discarded: one
-                    # wasted pair per dispatch (~2/T of the noise cost,
-                    # negligible at chain lengths that matter).
-                    def pair_pf(i, z):
-                        z_next = gen_pair(i + 1)
-                        t = 2 * i
-                        step(t, z[0], z[2])
-                        step(t + 1, z[1], z[3])
-                        return z_next
+                # Plain inline loop: generate a pair, consume it across two
+                # consecutive steps.  A software-pipelined prefetch variant
+                # (next pair issued before the current pair's steps) was
+                # A/B'd on hardware and LOST at every batch (x0.69-0.97,
+                # hw_transcripts/r5/r5_prefetch_fixed.log): the extra live
+                # pair raises register pressure, and ROOFLINE.md shows the
+                # noise path already runs at the VPU issue rate — there is
+                # no bubble for the prefetch to fill.
+                def pair(i, _):
+                    za, zb, z3a, z3b = gen_pair(i)
+                    t = 2 * i
+                    step(t, za, z3a)
+                    step(t + 1, zb, z3b)
+                    return ()
 
-                    z0 = gen_pair(0)
-                    if output_pc:
-                        zf = jax.lax.fori_loop(0, T // 2, pair_pf, z0)
-                    else:
-                        # fori_loop carries can't hold None: drop the z3 slots
-                        def pair_pf2(i, z):
-                            za, zb = z
-                            z_next = gen_pair(i + 1)
-                            t = 2 * i
-                            step(t, za, None)
-                            step(t + 1, zb, None)
-                            return (z_next[0], z_next[1])
-
-                        zf2 = jax.lax.fori_loop(
-                            0, T // 2, pair_pf2, (z0[0], z0[1])
-                        )
-                        zf = (zf2[0], zf2[1], None, None)
-                    if T % 2:
-                        step(jnp.int32(T - 1), zf[0], zf[2])
-                else:
-                    def pair(i, _):
-                        za, zb, z3a, z3b = gen_pair(i)
-                        t = 2 * i
-                        step(t, za, z3a)
-                        step(t + 1, zb, z3b)
-                        return ()
-
-                    jax.lax.fori_loop(0, T // 2, pair, ())
-                    if T % 2:
-                        za, _zb, z3a, _z3b = gen_pair(T // 2)
-                        step(jnp.int32(T - 1), za, z3a)
+                jax.lax.fori_loop(0, T // 2, pair, ())
+                if T % 2:
+                    za, _zb, z3a, _z3b = gen_pair(T // 2)
+                    step(jnp.int32(T - 1), za, z3a)
             else:
                 jax.lax.fori_loop(
                     0, T, lambda t, _: (step(t, None, None), ())[1], ()
@@ -1196,7 +1144,7 @@ def _pad_cols(a, width):
         "warm_T", "warm_lr", "warm_b1", "warm_b2", "warm_eps",
         "capture_stride", "activation", "warm_pgrads", "return_scalars",
         "batch_tile", "emit_warm_opt_state", "output_var", "mask_perc",
-        "matmul_layout", "scalar_stride", "noise_prefetch", "noise_rsqrt",
+        "matmul_layout", "scalar_stride",
     ),
 )
 def mcpc_chain_pallas(
@@ -1233,8 +1181,6 @@ def mcpc_chain_pallas(
     warm_mu: tp.Optional[tuple] = None,
     warm_nu: tp.Optional[tuple] = None,
     warm_count: tp.Optional[jax.Array] = None,
-    noise_prefetch: bool = False,
-    noise_rsqrt: bool = False,
 ):
     """Run (optionally) warm_T Adam MAP steps then T fused MCPC steps.
 
@@ -1403,8 +1349,6 @@ def mcpc_chain_pallas(
             layout=matmul_layout,
             scalar_stride=scalar_stride,
             warm_init=warm_init,
-            noise_prefetch=noise_prefetch,
-            noise_rsqrt=noise_rsqrt,
             interpret=interpret,
         )
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
